@@ -1,0 +1,16 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+The container's sitecustomize registers the `axon` TPU tunnel plugin and
+force-sets jax_platforms="axon,cpu"; tests must run on CPU (fast init,
+8 virtual devices for sharding tests), so we override it back BEFORE any
+backend is initialized.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
