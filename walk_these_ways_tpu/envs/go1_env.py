@@ -1,0 +1,842 @@
+"""Walk-these-ways velocity-tracking environment, TPU-native.
+
+This is the functional rebuild of the reference env stack — BaseTask +
+LeggedRobot + VelocityTrackingEasyEnv + HistoryWrapper (reference:
+go1_gym/envs/base/base_task.py, go1_gym/envs/base/legged_robot.py,
+go1_gym/envs/go1/velocity_tracking/__init__.py,
+go1_gym/envs/wrappers/history_wrapper.py) — as a single pure step function
+over an `EnvState` pytree:
+
+    step: (EnvState, actions) -> (EnvState, obs_dict, rew, done, info)
+
+Everything the reference does with ~60 mutable buffers, CPU curriculum
+round-trips, and per-env-id indexed resets becomes masked dense updates with
+per-env RNG — fully jittable, shardable along the env axis, no host syncs.
+
+Step ordering mirrors LeggedRobot.step/post_physics_step exactly
+(legged_robot.py:60-136): clip actions -> decimation x {torque model,
+physics} -> kinematic quantities -> teleport/resample/gait-clock/push/DR
+callbacks -> termination -> rewards -> masked auto-reset -> observations ->
+shift last_* buffers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.stats as jstats
+
+from ..config import Cfg
+from ..models import actuator_net
+from ..models.robot import RobotModel, default_dof_pos, go1, pd_gains
+from ..ops import quat as qops
+from ..physics import engine
+from . import curriculum as curr
+from . import rewards as rew_mod
+from . import terrain as terrain_mod
+
+COMMAND_SUM_KEYS = curr.TASK_KEYS + (
+    "lin_vel_raw", "ang_vel_raw", "lin_vel_residual", "ang_vel_residual",
+    "ep_timesteps",
+)
+
+
+class EnvState(NamedTuple):
+    phys: engine.PhysicsState
+    rng: jax.Array
+    # control pipeline
+    actions: jnp.ndarray                 # (N, 12) clipped policy actions
+    last_actions: jnp.ndarray
+    last_last_actions: jnp.ndarray
+    joint_pos_target: jnp.ndarray
+    last_joint_pos_target: jnp.ndarray
+    last_last_joint_pos_target: jnp.ndarray
+    last_dof_vel: jnp.ndarray
+    lag_buffer: jnp.ndarray              # (N, lag+1, 12)
+    torques: jnp.ndarray                 # (N, 12) last applied
+    # actuator-net history (updated per physics substep)
+    joint_pos_err_last: jnp.ndarray
+    joint_pos_err_last_last: jnp.ndarray
+    joint_vel_last: jnp.ndarray
+    joint_vel_last_last: jnp.ndarray
+    # episode bookkeeping
+    episode_length: jnp.ndarray          # (N,) int32
+    common_step: jnp.ndarray             # () int32
+    # commands & gait machinery
+    commands: jnp.ndarray                # (N, 15)
+    gait_indices: jnp.ndarray            # (N,)
+    clock_inputs: jnp.ndarray            # (N, 4)
+    desired_contact_states: jnp.ndarray  # (N, 4)
+    foot_indices: jnp.ndarray            # (N, 4)
+    # kinematic caches from last substep
+    contact_forces: jnp.ndarray          # (N, 17, 3)
+    foot_positions: jnp.ndarray          # (N, 4, 3)
+    foot_velocities: jnp.ndarray         # (N, 4, 3)
+    prev_foot_velocities: jnp.ndarray
+    last_contacts: jnp.ndarray           # (N, 4) bool
+    # domain randomization
+    payloads: jnp.ndarray                # (N,)
+    com_displacements: jnp.ndarray       # (N, 3)
+    friction_coeffs: jnp.ndarray         # (N,)
+    restitutions: jnp.ndarray            # (N,)
+    motor_strengths: jnp.ndarray         # (N, 12)
+    motor_offsets: jnp.ndarray           # (N, 12)
+    Kp_factors: jnp.ndarray              # (N, 12)
+    Kd_factors: jnp.ndarray              # (N, 12)
+    gravity_offset: jnp.ndarray          # (3,)  shared across envs
+    # logging accumulators
+    episode_sums: jnp.ndarray            # (N, n_terms + 1) [+1 = total]
+    command_sums: jnp.ndarray            # (N, len(COMMAND_SUM_KEYS))
+    # curriculum
+    curriculum: curr.CurriculumState
+    env_command_bins: jnp.ndarray        # (N,) int32
+    env_command_categories: jnp.ndarray  # (N,) int32
+    # observation history (HistoryWrapper state)
+    obs_history: jnp.ndarray             # (N, H * num_obs)
+
+
+class StepInfo(NamedTuple):
+    time_outs: jnp.ndarray               # (N,)
+    env_bins: jnp.ndarray                # (N,)
+    # per-term sums over envs that finished an episode this step + count,
+    # for host-side logging without any device->host sync in the hot loop
+    ep_sums_done: jnp.ndarray            # (n_terms + 1,)
+    ep_count_done: jnp.ndarray           # ()
+    ep_len_done: jnp.ndarray             # () summed episode lengths at done
+    torques: jnp.ndarray                 # (N, 12)
+
+
+class LeggedRobotEnv:
+    """Static env context; all methods are pure and jit-friendly."""
+
+    def __init__(self, cfg: Cfg, model: RobotModel | None = None,
+                 terrain_seed: int = 0):
+        self.cfg = cfg
+        self.model = model or go1()
+        m = self.model
+        self.num_envs = cfg.env.num_envs
+        self.num_obs = cfg.env.num_observations
+        self.num_privileged_obs = cfg.env.num_privileged_obs
+        self.num_actions = cfg.env.num_actions
+        self.num_obs_history = cfg.env.num_observation_history * self.num_obs
+        self.dt = cfg.dt
+        self.max_episode_length = cfg.max_episode_length
+
+        self.sim_params = engine.SimParams(
+            dt=cfg.sim.dt, num_contact_iters=cfg.sim.num_contact_iters)
+
+        # terrain ---------------------------------------------------------
+        np_rng = np.random.RandomState(terrain_seed)
+        if cfg.terrain.mesh_type in ("heightfield", "trimesh"):
+            arrays = terrain_mod.build(cfg.terrain, seed=terrain_seed)
+            self.terrain = engine.Terrain(
+                height=jnp.asarray(arrays.height),
+                horizontal_scale=arrays.horizontal_scale,
+                origin_xy=arrays.origin_xy,
+            )
+            origins = terrain_mod.assign_env_origins(
+                cfg.terrain, arrays, self.num_envs, np_rng)
+        else:
+            self.terrain = engine.flat_terrain()
+            origins = terrain_mod.grid_env_origins(self.num_envs)
+        self.env_origins = jnp.asarray(origins)
+
+        # constants -------------------------------------------------------
+        self.default_dof_pos = default_dof_pos(
+            m, dict(cfg.init_state.default_joint_angles))
+        self.p_gains, self.d_gains = pd_gains(
+            m, dict(cfg.control.stiffness), dict(cfg.control.damping))
+        self.torque_limits = jnp.asarray(m.dof_effort, dtype=jnp.float32)
+        # soft dof position limits (legged_robot.py:603-607)
+        lo = np.asarray(m.dof_lower)
+        hi = np.asarray(m.dof_upper)
+        mid, r = (lo + hi) / 2, hi - lo
+        soft = cfg.rewards.soft_dof_pos_limit
+        self.dof_pos_limits = jnp.asarray(
+            np.stack([mid - 0.5 * r * soft, mid + 0.5 * r * soft], axis=-1),
+            dtype=jnp.float32)
+        self.feet_indices = tuple(int(i) for i in m.feet_report_indices)
+        pen = []
+        for i, name in enumerate(m.report_body_names):
+            if "thigh" in name or "calf" in name:
+                pen.append(i)
+        self.penalised_indices = tuple(pen)
+        self.termination_indices = (0,)  # base
+
+        # commands scale (legged_robot.py:1196-1203)
+        osc = cfg.obs_scales
+        self.commands_scale = jnp.asarray(
+            [osc.lin_vel, osc.lin_vel, osc.ang_vel, osc.body_height_cmd,
+             osc.gait_freq_cmd, osc.gait_phase_cmd, osc.gait_phase_cmd,
+             osc.gait_phase_cmd, osc.gait_phase_cmd, osc.footswing_height_cmd,
+             osc.body_pitch_cmd, osc.body_roll_cmd, osc.stance_width_cmd,
+             osc.stance_length_cmd, osc.aux_reward_cmd][:cfg.commands.num_commands],
+            dtype=jnp.float32)
+
+        self.noise_scale_vec = self._make_noise_vec()
+
+        # curriculum ------------------------------------------------------
+        self.curr_grid = curr.make_grid(cfg.commands)
+        # dt-scaled reward scales (legged_robot.py:1394-1400)
+        self.reward_names = rew_mod.active_terms(cfg)
+        scales = dict(cfg.reward_scales.items())
+        self.reward_scales = tuple(scales[n] * self.dt for n in self.reward_names)
+        thr = cfg.curriculum_thresholds
+        thr_map = dict(
+            tracking_lin_vel=thr.tracking_lin_vel,
+            tracking_ang_vel=thr.tracking_ang_vel,
+            tracking_contacts_shaped_force=thr.tracking_contacts_shaped_force,
+            tracking_contacts_shaped_vel=thr.tracking_contacts_shaped_vel,
+        )
+        self.task_thresholds = jnp.asarray(
+            [thr_map[k] * scales.get(k, 0.0) * self.dt for k in curr.TASK_KEYS],
+            dtype=jnp.float32)
+
+        # actuator network ------------------------------------------------
+        if cfg.control.control_type == "actuator_net":
+            self.actuator_params = actuator_net.load()
+        else:
+            self.actuator_params = None
+
+        # derived intervals (legged_robot.py:1716-1732)
+        self.resample_interval = int(cfg.commands.resampling_time / self.dt)
+        self.rand_interval = int(np.ceil(cfg.domain_rand.rand_interval_s / self.dt))
+        self.push_interval = int(np.ceil(cfg.domain_rand.push_interval_s / self.dt))
+        self.gravity_rand_interval = int(
+            np.ceil(cfg.domain_rand.gravity_rand_interval_s / self.dt))
+        self.gravity_rand_duration = int(np.ceil(
+            self.gravity_rand_interval * cfg.domain_rand.gravity_impulse_duration))
+
+    # -- noise ------------------------------------------------------------
+    def _make_noise_vec(self) -> jnp.ndarray:
+        """Observation noise scales (legged_robot.py:1053-1120)."""
+        cfg = self.cfg
+        ns, osc = cfg.noise_scales, cfg.obs_scales
+        lvl = cfg.noise.noise_level
+        parts = [np.ones(3) * ns.gravity * lvl]
+        if cfg.env.observe_command:
+            parts.append(np.zeros(cfg.commands.num_commands))
+        parts.append(np.ones(12) * ns.dof_pos * lvl * osc.dof_pos)
+        parts.append(np.ones(12) * ns.dof_vel * lvl * osc.dof_vel)
+        parts.append(np.zeros(12))  # actions
+        if cfg.env.observe_two_prev_actions:
+            parts.append(np.zeros(12))
+        if cfg.env.observe_timing_parameter:
+            parts.append(np.zeros(1))
+        if cfg.env.observe_clock_inputs:
+            parts.append(np.zeros(4))
+        if cfg.env.observe_vel:
+            parts = [np.ones(3) * ns.lin_vel * lvl * osc.lin_vel,
+                     np.ones(3) * ns.ang_vel * lvl * osc.ang_vel] + parts
+        if cfg.env.observe_only_lin_vel:
+            parts = [np.ones(3) * ns.lin_vel * lvl * osc.lin_vel] + parts
+        if cfg.env.observe_yaw:
+            parts.append(np.zeros(1))
+        if cfg.env.observe_contact_states:
+            parts.append(np.ones(4) * ns.contact_states * lvl)
+        vec = np.concatenate(parts)
+        assert vec.shape[0] == self.num_obs, (vec.shape, self.num_obs)
+        return jnp.asarray(vec, dtype=jnp.float32)
+
+    # -- initialization ---------------------------------------------------
+    def init_state(self, rng: jax.Array) -> EnvState:
+        """Fresh state with creation-time DR applied (reference
+        _create_envs + _init_custom_buffers + _randomize_rigid_body_props,
+        legged_robot.py:1481-1571, 1260-1297)."""
+        N = self.num_envs
+        cfg = self.cfg
+        keys = jax.random.split(rng, 10)
+        dr = cfg.domain_rand
+
+        def u(key, lo, hi, shape):
+            return jax.random.uniform(key, shape, minval=lo, maxval=hi)
+
+        friction = (u(keys[0], *dr.friction_range, (N,))
+                    if dr.randomize_friction else jnp.ones(N))
+        restitution = (u(keys[1], *dr.restitution_range, (N,))
+                       if dr.randomize_restitution else jnp.zeros(N))
+        payload = (u(keys[2], *dr.added_mass_range, (N,))
+                   if dr.randomize_base_mass else jnp.zeros(N))
+        com_disp = (u(keys[3], *dr.com_displacement_range, (N, 3))
+                    if dr.randomize_com_displacement else jnp.zeros((N, 3)))
+        gravity_offset = (u(keys[4], *dr.gravity_range, (3,))
+                          if dr.randomize_gravity else jnp.zeros(3))
+
+        motor_strengths, motor_offsets, kp_f, kd_f = self._sample_dof_props(
+            keys[5], N)
+
+        phys = engine.PhysicsState(
+            base_pos=self.env_origins + jnp.asarray(cfg.init_state.pos),
+            base_quat=jnp.tile(jnp.asarray(cfg.init_state.rot), (N, 1)),
+            base_lin_vel=jnp.zeros((N, 3)),
+            base_ang_vel=jnp.zeros((N, 3)),
+            q=jnp.tile(self.default_dof_pos, (N, 1)),
+            qd=jnp.zeros((N, 12)),
+        )
+        n_terms = len(self.reward_names)
+        z12 = jnp.zeros((N, 12))
+        state = EnvState(
+            phys=phys,
+            rng=keys[9],
+            actions=z12, last_actions=z12, last_last_actions=z12,
+            joint_pos_target=z12, last_joint_pos_target=z12,
+            last_last_joint_pos_target=z12,
+            last_dof_vel=z12,
+            lag_buffer=jnp.zeros((N, dr.lag_timesteps + 1, 12)),
+            torques=z12,
+            joint_pos_err_last=z12, joint_pos_err_last_last=z12,
+            joint_vel_last=z12, joint_vel_last_last=z12,
+            episode_length=jnp.zeros(N, jnp.int32),
+            common_step=jnp.zeros((), jnp.int32),
+            commands=jnp.zeros((N, 15)),
+            gait_indices=jnp.zeros(N),
+            clock_inputs=jnp.zeros((N, 4)),
+            desired_contact_states=jnp.zeros((N, 4)),
+            foot_indices=jnp.zeros((N, 4)),
+            contact_forces=jnp.zeros((N, self.model.num_report_bodies, 3)),
+            foot_positions=jnp.zeros((N, 4, 3)),
+            foot_velocities=jnp.zeros((N, 4, 3)),
+            prev_foot_velocities=jnp.zeros((N, 4, 3)),
+            last_contacts=jnp.zeros((N, 4), bool),
+            payloads=payload,
+            com_displacements=com_disp,
+            friction_coeffs=friction,
+            restitutions=restitution,
+            motor_strengths=motor_strengths,
+            motor_offsets=motor_offsets,
+            Kp_factors=kp_f,
+            Kd_factors=kd_f,
+            gravity_offset=gravity_offset,
+            episode_sums=jnp.zeros((N, n_terms + 1)),
+            command_sums=jnp.zeros((N, len(COMMAND_SUM_KEYS))),
+            curriculum=curr.init_state(cfg.commands, self.curr_grid),
+            env_command_bins=jnp.zeros(N, jnp.int32),
+            env_command_categories=jnp.zeros(N, jnp.int32),
+            obs_history=jnp.zeros((N, self.num_obs_history)),
+        )
+        return state
+
+    def _sample_dof_props(self, rng, N):
+        """Motor strength/offset/Kp/Kd DR (legged_robot.py:645-665)."""
+        dr = self.cfg.domain_rand
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        # motor strength: one factor per env broadcast to 12 joints
+        ms = (jax.random.uniform(k1, (N, 1), minval=dr.motor_strength_range[0],
+                                 maxval=dr.motor_strength_range[1])
+              * jnp.ones((1, 12))
+              if dr.randomize_motor_strength else jnp.ones((N, 12)))
+        mo = (jax.random.uniform(k2, (N, 12), minval=dr.motor_offset_range[0],
+                                 maxval=dr.motor_offset_range[1])
+              if dr.randomize_motor_offset else jnp.zeros((N, 12)))
+        kp = (jax.random.uniform(k3, (N, 1), minval=dr.Kp_factor_range[0],
+                                 maxval=dr.Kp_factor_range[1]) * jnp.ones((1, 12))
+              if dr.randomize_Kp_factor else jnp.ones((N, 12)))
+        kd = (jax.random.uniform(k4, (N, 1), minval=dr.Kd_factor_range[0],
+                                 maxval=dr.Kd_factor_range[1]) * jnp.ones((1, 12))
+              if dr.randomize_Kd_factor else jnp.ones((N, 12)))
+        return ms, mo, kp, kd
+
+    # -- torque model ------------------------------------------------------
+    def _compute_torques(self, state: EnvState):
+        """One substep of the torque pipeline (legged_robot.py:907-946).
+        Returns (torques, updated state fields)."""
+        cfg = self.cfg
+        actions_scaled = state.actions * cfg.control.action_scale
+        hip = jnp.asarray([1.0, 1.0, 1.0] * 4).at[0::3].set(
+            cfg.control.hip_scale_reduction)
+        actions_scaled = actions_scaled * hip[None, :]
+
+        if cfg.domain_rand.randomize_lag_timesteps:
+            lag = jnp.concatenate(
+                [state.lag_buffer[:, 1:], actions_scaled[:, None, :]], axis=1)
+            target = lag[:, 0] + self.default_dof_pos[None, :]
+        else:
+            lag = state.lag_buffer
+            target = actions_scaled + self.default_dof_pos[None, :]
+
+        q, qd = state.phys.q, state.phys.qd
+        if cfg.control.control_type == "actuator_net":
+            err = q - target + state.motor_offsets
+            tau = actuator_net.eval_torques(
+                self.actuator_params,
+                err, state.joint_pos_err_last, state.joint_pos_err_last_last,
+                qd, state.joint_vel_last, state.joint_vel_last_last)
+            new_hist = dict(
+                joint_pos_err_last_last=state.joint_pos_err_last,
+                joint_pos_err_last=err,
+                joint_vel_last_last=state.joint_vel_last,
+                joint_vel_last=qd,
+            )
+        elif cfg.control.control_type == "P":
+            tau = (self.p_gains[None, :] * state.Kp_factors
+                   * (target - q + state.motor_offsets)
+                   - self.d_gains[None, :] * state.Kd_factors * qd)
+            new_hist = {}
+        else:
+            raise NameError(f"Unknown controller type: {cfg.control.control_type}")
+
+        tau = tau * state.motor_strengths
+        tau = jnp.clip(tau, -self.torque_limits, self.torque_limits)
+        return tau, target, lag, new_hist
+
+    # -- observation -------------------------------------------------------
+    def _compute_obs(self, state: EnvState, base_lin_vel_b, base_ang_vel_b,
+                     projected_gravity, rng):
+        """Observation assembly (legged_robot.py:302-377)."""
+        cfg = self.cfg
+        osc = cfg.obs_scales
+        parts = [projected_gravity]
+        if cfg.env.observe_command:
+            parts.append(state.commands[:, :cfg.commands.num_commands]
+                         * self.commands_scale[None, :])
+        parts.append((state.phys.q - self.default_dof_pos[None, :]) * osc.dof_pos)
+        parts.append(state.phys.qd * osc.dof_vel)
+        parts.append(state.actions)
+        if cfg.env.observe_two_prev_actions:
+            parts.append(state.last_actions)
+        if cfg.env.observe_timing_parameter:
+            parts.append(state.gait_indices[:, None])
+        if cfg.env.observe_clock_inputs:
+            parts.append(state.clock_inputs)
+        obs = jnp.concatenate(parts, axis=-1)
+        if cfg.env.observe_vel:
+            obs = jnp.concatenate(
+                [base_lin_vel_b * osc.lin_vel, base_ang_vel_b * osc.ang_vel, obs],
+                axis=-1)
+        if cfg.env.observe_only_lin_vel:
+            obs = jnp.concatenate([base_lin_vel_b * osc.lin_vel, obs], axis=-1)
+        if cfg.env.observe_yaw:
+            fwd = qops.quat_apply(state.phys.base_quat, jnp.array([1.0, 0.0, 0.0]))
+            heading = jnp.arctan2(fwd[:, 1], fwd[:, 0])[:, None]
+            obs = jnp.concatenate([obs, heading], axis=-1)
+        if cfg.env.observe_contact_states:
+            cs = (state.contact_forces[:, self.feet_indices, 2] > 1.0) * 1.0
+            obs = jnp.concatenate([obs, cs], axis=-1)
+        if cfg.noise.add_noise:
+            noise = (2 * jax.random.uniform(rng, obs.shape) - 1)
+            obs = obs + noise * self.noise_scale_vec[None, :]
+        return obs
+
+    def _compute_privileged_obs(self, state: EnvState, base_lin_vel_b):
+        """Privileged observation assembly (legged_robot.py:380-491)."""
+        cfg = self.cfg
+        nrm = cfg.normalization
+        parts = []
+
+        def scale_shift(rng_):
+            return 2.0 / (rng_[1] - rng_[0]), (rng_[1] + rng_[0]) / 2.0
+
+        if cfg.env.priv_observe_friction:
+            s, sh = scale_shift(nrm.friction_range)
+            parts.append(((state.friction_coeffs - sh) * s)[:, None])
+        if cfg.env.priv_observe_restitution:
+            s, sh = scale_shift(nrm.restitution_range)
+            parts.append(((state.restitutions - sh) * s)[:, None])
+        if cfg.env.priv_observe_base_mass:
+            s, sh = scale_shift(nrm.added_mass_range)
+            parts.append(((state.payloads - sh) * s)[:, None])
+        if cfg.env.priv_observe_com_displacement:
+            s, sh = scale_shift(nrm.com_displacement_range)
+            parts.append((state.com_displacements - sh) * s)
+        if cfg.env.priv_observe_motor_strength:
+            s, sh = scale_shift(nrm.motor_strength_range)
+            parts.append((state.motor_strengths - sh) * s)
+        if cfg.env.priv_observe_motor_offset:
+            s, sh = scale_shift(nrm.motor_offset_range)
+            parts.append((state.motor_offsets - sh) * s)
+        if cfg.env.priv_observe_body_height:
+            s, sh = scale_shift(nrm.body_height_range)
+            parts.append(((state.phys.base_pos[:, 2] - sh) * s)[:, None])
+        if cfg.env.priv_observe_body_velocity:
+            s, sh = scale_shift(nrm.body_velocity_range)
+            parts.append((base_lin_vel_b - sh) * s)
+        if cfg.env.priv_observe_clock_inputs:
+            parts.append(state.clock_inputs)
+        if cfg.env.priv_observe_desired_contact_states:
+            parts.append(state.desired_contact_states)
+        if not parts:
+            return jnp.zeros((self.num_envs, 0))
+        priv = jnp.concatenate(parts, axis=-1)
+        assert priv.shape[1] == self.num_privileged_obs, (
+            priv.shape, self.num_privileged_obs)
+        return priv
+
+    # -- gait clocks -------------------------------------------------------
+    def _step_contact_targets(self, state: EnvState):
+        """Gait clock machinery (legged_robot.py:826-905)."""
+        cfg = self.cfg
+        if not cfg.env.observe_gait_commands:
+            return state.gait_indices, state.clock_inputs, \
+                state.desired_contact_states, state.foot_indices
+        cmds = state.commands
+        freq, phases, offsets, bounds, durations = (
+            cmds[:, 4], cmds[:, 5], cmds[:, 6], cmds[:, 7], cmds[:, 8])
+        gi = jnp.remainder(state.gait_indices + self.dt * freq, 1.0)
+        if cfg.commands.pacing_offset:
+            raw = [gi + phases + offsets + bounds, gi + bounds,
+                   gi + offsets, gi + phases]
+        else:
+            raw = [gi + phases + offsets + bounds, gi + offsets,
+                   gi + bounds, gi + phases]
+        raw = jnp.stack(raw, axis=1)                       # (N, 4) FL FR RL RR
+        foot_indices = jnp.remainder(raw, 1.0)
+        dur = durations[:, None]
+        rem = jnp.remainder(raw, 1.0)
+        stance = rem * (0.5 / dur)
+        swing = 0.5 + (rem - dur) * (0.5 / (1 - dur))
+        xform = jnp.where(rem < dur, stance, jnp.where(rem > dur, swing, rem))
+        clock = jnp.sin(2 * jnp.pi * xform)
+        kappa = cfg.rewards.kappa_gait_probs
+        cdf = lambda x: jstats.norm.cdf(x, loc=0.0, scale=kappa)
+        x = jnp.remainder(xform, 1.0)
+        desired = (cdf(x) * (1 - cdf(x - 0.5))
+                   + cdf(x - 1) * (1 - cdf(x - 1.5)))
+        return gi, clock, desired, foot_indices
+
+    # -- reset helpers -----------------------------------------------------
+    def _sample_reset_state(self, state: EnvState, rng):
+        """Per-env reset samples (reference _reset_dofs/_reset_root_states,
+        legged_robot.py:948-1001). Returns a full-batch candidate."""
+        cfg = self.cfg
+        N = self.num_envs
+        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+        q = self.default_dof_pos[None, :] * jax.random.uniform(
+            k1, (N, 12), minval=0.5, maxval=1.5)
+        pos = self.env_origins + jnp.asarray(cfg.init_state.pos)
+        xy = jax.random.uniform(
+            k2, (N, 2),
+            minval=jnp.asarray([-cfg.terrain.x_init_range, -cfg.terrain.y_init_range]),
+            maxval=jnp.asarray([cfg.terrain.x_init_range, cfg.terrain.y_init_range]))
+        if cfg.terrain.mesh_type in ("heightfield", "trimesh"):
+            pos = pos.at[:, :2].add(
+                xy + jnp.asarray([cfg.terrain.x_init_offset, cfg.terrain.y_init_offset]))
+        yaw = jax.random.uniform(k3, (N,), minval=-cfg.terrain.yaw_init_range,
+                                 maxval=cfg.terrain.yaw_init_range)
+        quat = qops.quat_from_angle_axis(yaw, jnp.array([0.0, 0.0, 1.0]))
+        vel6 = jax.random.uniform(k4, (N, 6), minval=-0.5, maxval=0.5)
+        return engine.PhysicsState(
+            base_pos=pos, base_quat=quat,
+            base_lin_vel=vel6[:, :3], base_ang_vel=vel6[:, 3:],
+            q=q, qd=jnp.zeros((N, 12)))
+
+    # -- main step ---------------------------------------------------------
+    def step(self, state: EnvState, actions: jnp.ndarray):
+        cfg = self.cfg
+        N = self.num_envs
+        m = self.model
+        rng, k_noise, k_resample, k_reset, k_reset_cmd, k_push, k_dof, k_grav = \
+            jax.random.split(state.rng, 8)
+
+        # 1. clip actions (legged_robot.py:66-67)
+        clip_a = cfg.normalization.clip_actions
+        actions = jnp.clip(actions, -clip_a, clip_a)
+        state = state._replace(actions=actions,
+                               prev_foot_velocities=state.foot_velocities)
+
+        # 2. decimation loop (legged_robot.py:74-81)
+        gravity = state.gravity_offset + jnp.asarray([0.0, 0.0, -9.8])
+        dyn = engine.DynamicsParams(
+            payload=state.payloads,
+            com_displacement=state.com_displacements,
+            friction=state.friction_coeffs,
+            restitution=state.restitutions,
+            gravity=jnp.tile(gravity[None, :], (N, 1)),
+        )
+
+        def substep(carry, _):
+            st = carry
+            tau, target, lag, hist = self._compute_torques(st)
+            phys2, cinfo = engine.physics_substep(
+                m, self.sim_params, st.phys, tau, dyn, self.terrain)
+            st = st._replace(phys=phys2, torques=tau,
+                             joint_pos_target=target, lag_buffer=lag, **hist)
+            return st, cinfo
+
+        state, cinfos = jax.lax.scan(substep, state, None,
+                                     length=cfg.control.decimation)
+        contact_forces = jax.tree.map(lambda x: x[-1], cinfos).report_forces
+
+        # 3. kinematic quantities (legged_robot.py:102-115)
+        phys = state.phys
+        episode_length = state.episode_length + 1
+        common_step = state.common_step + 1
+        base_lin_vel_b = qops.quat_rotate_inverse(phys.base_quat, phys.base_lin_vel)
+        base_ang_vel_b = qops.quat_rotate_inverse(phys.base_quat, phys.base_ang_vel)
+        gravity_unit = gravity / jnp.linalg.norm(gravity)
+        gravity_vec = jnp.tile(gravity_unit[None, :], (N, 1))
+        projected_gravity = qops.quat_rotate_inverse(phys.base_quat, gravity_vec)
+        foot_positions, foot_velocities = engine.foot_positions_velocities(m, phys)
+
+        # 4. teleport (legged_robot.py:1028-1051)
+        if cfg.terrain.teleport_robots and cfg.terrain.mesh_type in (
+                "heightfield", "trimesh"):
+            phys = self._teleport(phys)
+
+        state = state._replace(
+            phys=phys, episode_length=episode_length, common_step=common_step,
+            contact_forces=contact_forces, foot_positions=foot_positions,
+            foot_velocities=foot_velocities)
+
+        # 5. command resampling w/ curriculum (legged_robot.py:683-686)
+        resample_mask = (episode_length % self.resample_interval) == 0
+        state = self._resample_commands(state, resample_mask, k_resample)
+
+        # 6. gait clocks (legged_robot.py:687)
+        gi, clock, desired, foot_idx = self._step_contact_targets(state)
+        state = state._replace(gait_indices=gi, clock_inputs=clock,
+                               desired_contact_states=desired,
+                               foot_indices=foot_idx)
+
+        # 7. push robots (legged_robot.py:693-694, 1017-1026)
+        if cfg.domain_rand.push_robots:
+            push_mask = (episode_length % self.push_interval) == 0
+            pv = jax.random.uniform(k_push, (N, 2),
+                                    minval=-cfg.domain_rand.max_push_vel_xy,
+                                    maxval=cfg.domain_rand.max_push_vel_xy)
+            new_lin = jnp.where(push_mask[:, None],
+                                jnp.concatenate([pv, phys.base_lin_vel[:, 2:]], -1),
+                                phys.base_lin_vel)
+            state = state._replace(phys=state.phys._replace(base_lin_vel=new_lin))
+
+        # 8. periodic dof-prop DR (legged_robot.py:696-699)
+        dof_rand_mask = (episode_length % self.rand_interval) == 0
+        state = self._apply_dof_props_mask(state, dof_rand_mask, k_dof)
+
+        # 9. gravity DR schedule (legged_robot.py:701-705)
+        if cfg.domain_rand.randomize_gravity:
+            g_key = jax.random.fold_in(k_grav, common_step)
+            new_g = jax.random.uniform(
+                g_key, (3,), minval=cfg.domain_rand.gravity_range[0],
+                maxval=cfg.domain_rand.gravity_range[1])
+            go = jnp.where((common_step % self.gravity_rand_interval) == 0,
+                           new_g, state.gravity_offset)
+            go = jnp.where(
+                ((common_step - self.gravity_rand_duration)
+                 % self.gravity_rand_interval) == 0,
+                jnp.zeros(3), go)
+            state = state._replace(gravity_offset=go)
+
+        # 10. termination (legged_robot.py:138-148)
+        term_f = jnp.linalg.norm(
+            state.contact_forces[:, self.termination_indices, :], axis=-1)
+        reset = jnp.any(term_f > 1.0, axis=1)
+        time_out = episode_length > self.max_episode_length
+        reset = reset | time_out
+        if cfg.rewards.use_terminal_body_height:
+            body_height = state.phys.base_pos[:, 2]  # measured_heights = 0
+            reset = reset | (body_height < cfg.rewards.terminal_body_height)
+
+        # 11. rewards (legged_robot.py:263-300)
+        ctx = rew_mod.RewardCtx(
+            cfg=cfg, dt=self.dt, commands=state.commands,
+            base_pos=state.phys.base_pos, base_quat=state.phys.base_quat,
+            base_lin_vel=base_lin_vel_b, base_ang_vel=base_ang_vel_b,
+            projected_gravity=projected_gravity, gravity_vec=gravity_vec,
+            dof_pos=state.phys.q, default_dof_pos=self.default_dof_pos,
+            dof_vel=state.phys.qd, last_dof_vel=state.last_dof_vel,
+            torques=state.torques, actions=state.actions,
+            last_actions=state.last_actions,
+            last_last_actions=state.last_last_actions,
+            joint_pos_target=state.joint_pos_target,
+            last_joint_pos_target=state.last_joint_pos_target,
+            last_last_joint_pos_target=state.last_last_joint_pos_target,
+            contact_forces=state.contact_forces,
+            foot_velocities=state.foot_velocities,
+            prev_foot_velocities=state.prev_foot_velocities,
+            foot_positions=state.foot_positions,
+            desired_contact_states=state.desired_contact_states,
+            foot_indices=state.foot_indices,
+            last_contacts=state.last_contacts,
+            dof_pos_limits=self.dof_pos_limits,
+            feet_indices=self.feet_indices,
+            penalised_indices=self.penalised_indices,
+        )
+        rew_total, episode_sums, command_sums = self._compute_reward(
+            ctx, state, base_lin_vel_b, base_ang_vel_b)
+        new_last_contacts = state.contact_forces[:, self.feet_indices, 2] > 1.0
+        state = state._replace(last_contacts=new_last_contacts,
+                               episode_sums=episode_sums,
+                               command_sums=command_sums)
+
+        # 12. masked auto-reset (legged_robot.py:150-239)
+        ep_sums_done = jnp.sum(
+            jnp.where(reset[:, None], state.episode_sums, 0.0), axis=0)
+        ep_count_done = jnp.sum(reset)
+        ep_len_done = jnp.sum(jnp.where(reset, episode_length, 0))
+        state = self._reset_envs(state, reset, k_reset, k_reset_cmd)
+
+        # 13. observations (legged_robot.py:302+) on post-reset state
+        phys = state.phys
+        base_lin_vel_b2 = qops.quat_rotate_inverse(phys.base_quat, phys.base_lin_vel)
+        base_ang_vel_b2 = qops.quat_rotate_inverse(phys.base_quat, phys.base_ang_vel)
+        projected_gravity2 = qops.quat_rotate_inverse(phys.base_quat, gravity_vec)
+        obs = self._compute_obs(state, base_lin_vel_b2, base_ang_vel_b2,
+                                projected_gravity2, k_noise)
+        clip_o = cfg.normalization.clip_observations
+        obs = jnp.clip(obs, -clip_o, clip_o)
+        priv_obs = self._compute_privileged_obs(state, base_lin_vel_b2)
+        priv_obs = jnp.clip(priv_obs, -clip_o, clip_o)
+        obs_history = jnp.concatenate(
+            [state.obs_history[:, self.num_obs:], obs], axis=-1)
+
+        # 14. shift last_* buffers (legged_robot.py:126-131)
+        state = state._replace(
+            rng=rng,
+            obs_history=obs_history,
+            last_last_actions=state.last_actions,
+            last_actions=state.actions,
+            last_last_joint_pos_target=state.last_joint_pos_target,
+            last_joint_pos_target=state.joint_pos_target,
+            last_dof_vel=state.phys.qd,
+        )
+
+        obs_dict = {"obs": obs, "privileged_obs": priv_obs,
+                    "obs_history": obs_history}
+        info = StepInfo(
+            time_outs=time_out, env_bins=state.env_command_bins,
+            ep_sums_done=ep_sums_done, ep_count_done=ep_count_done,
+            ep_len_done=ep_len_done, torques=state.torques)
+        return state, obs_dict, rew_total, reset, info
+
+    # -- reward assembly ---------------------------------------------------
+    def _compute_reward(self, ctx, state, base_lin_vel_b, base_ang_vel_b):
+        cfg = self.cfg
+        N = self.num_envs
+        rew_total = jnp.zeros(N)
+        rew_pos = jnp.zeros(N)
+        rew_neg = jnp.zeros(N)
+        ep_sums = state.episode_sums
+        cmd_sums = state.command_sums
+        cmd_key_idx = {k: i for i, k in enumerate(COMMAND_SUM_KEYS)}
+        for i, name in enumerate(self.reward_names):
+            r = rew_mod.TERMS[name](ctx) * self.reward_scales[i]
+            rew_total = rew_total + r
+            s = jnp.sum(r)
+            rew_pos = rew_pos + jnp.where(s >= 0, r, 0.0)
+            rew_neg = rew_neg + jnp.where(s < 0, r, 0.0)
+            ep_sums = ep_sums.at[:, i].add(r)
+            if name in cmd_key_idx:
+                j = cmd_key_idx[name]
+                if name in ("tracking_contacts_shaped_force",
+                            "tracking_contacts_shaped_vel"):
+                    # legged_robot.py:280-281: scale + rew (positive-shifted)
+                    cmd_sums = cmd_sums.at[:, j].add(self.reward_scales[i] + r)
+                else:
+                    cmd_sums = cmd_sums.at[:, j].add(r)
+        if cfg.rewards.only_positive_rewards:
+            rew_total = jnp.clip(rew_total, 0.0, None)
+        elif cfg.rewards.only_positive_rewards_ji22_style:
+            rew_total = rew_pos * jnp.exp(rew_neg / cfg.rewards.sigma_rew_neg)
+        ep_sums = ep_sums.at[:, -1].add(rew_total)
+        ki = cmd_key_idx
+        cmd_sums = cmd_sums.at[:, ki["lin_vel_raw"]].add(base_lin_vel_b[:, 0])
+        cmd_sums = cmd_sums.at[:, ki["ang_vel_raw"]].add(base_ang_vel_b[:, 2])
+        cmd_sums = cmd_sums.at[:, ki["lin_vel_residual"]].add(
+            jnp.square(base_lin_vel_b[:, 0] - state.commands[:, 0]))
+        cmd_sums = cmd_sums.at[:, ki["ang_vel_residual"]].add(
+            jnp.square(base_ang_vel_b[:, 2] - state.commands[:, 2]))
+        cmd_sums = cmd_sums.at[:, ki["ep_timesteps"]].add(1.0)
+        return rew_total, ep_sums, cmd_sums
+
+    # -- curriculum + command resampling -----------------------------------
+    def _resample_commands(self, state: EnvState, mask, rng):
+        """Masked _resample_commands (legged_robot.py:710-824).
+
+        Note the reference samples from the curricula unconditionally — the
+        command_curriculum flag only gates extras logging."""
+        cfg = self.cfg
+        ep_len = min(self.max_episode_length, self.resample_interval)
+        task_means = jnp.stack(
+            [state.command_sums[:, i] / ep_len for i in range(len(curr.TASK_KEYS))],
+            axis=-1)
+        cur = curr.update(
+            state.curriculum, self.curr_grid, mask,
+            state.env_command_bins, state.env_command_categories,
+            task_means, self.task_thresholds)
+        k_s, k_p = jax.random.split(rng)
+        new_cmds, new_bins, new_cats = curr.sample(
+            cur, self.curr_grid, k_s, self.num_envs)
+        new_cmds = curr.postprocess_gaitwise(new_cmds, new_cats, cfg.commands)
+        commands = jnp.where(mask[:, None], new_cmds[:, :15], state.commands)
+        bins = jnp.where(mask, new_bins, state.env_command_bins)
+        cats = jnp.where(mask, new_cats, state.env_command_categories)
+        # reset command sums for resampled envs (legged_robot.py:822-824)
+        cmd_sums = jnp.where(mask[:, None], 0.0, state.command_sums)
+        return state._replace(curriculum=cur, commands=commands,
+                              env_command_bins=bins,
+                              env_command_categories=cats,
+                              command_sums=cmd_sums)
+
+    def _apply_dof_props_mask(self, state: EnvState, mask, rng):
+        ms, mo, kp, kd = self._sample_dof_props(rng, self.num_envs)
+        mm = mask[:, None]
+        return state._replace(
+            motor_strengths=jnp.where(mm, ms, state.motor_strengths),
+            motor_offsets=jnp.where(mm, mo, state.motor_offsets),
+            Kp_factors=jnp.where(mm, kp, state.Kp_factors),
+            Kd_factors=jnp.where(mm, kd, state.Kd_factors),
+        )
+
+    def _teleport(self, phys: engine.PhysicsState) -> engine.PhysicsState:
+        """Edge teleport (legged_robot.py:1028-1051)."""
+        tc = self.cfg.terrain
+        thresh = tc.teleport_thresh
+        span_x = tc.terrain_length * (tc.num_rows - 1)
+        span_y = tc.terrain_width * (tc.num_cols - 1)
+        x, y = phys.base_pos[:, 0], phys.base_pos[:, 1]
+        x = jnp.where(x < thresh, x + span_x, x)
+        x = jnp.where(x > tc.terrain_length * tc.num_rows - thresh, x - span_x, x)
+        y = jnp.where(y < thresh, y + span_y, y)
+        y = jnp.where(y > tc.terrain_width * tc.num_cols - thresh, y - span_y, y)
+        return phys._replace(
+            base_pos=jnp.stack([x, y, phys.base_pos[:, 2]], axis=-1))
+
+    def _reset_envs(self, state: EnvState, reset_mask, rng, rng_cmd):
+        """Masked reset_idx (legged_robot.py:150-239)."""
+        cfg = self.cfg
+        mask = reset_mask
+        mm = mask[:, None]
+        cand = self._sample_reset_state(state, rng)
+        phys = engine.PhysicsState(
+            base_pos=jnp.where(mm, cand.base_pos, state.phys.base_pos),
+            base_quat=jnp.where(mm, cand.base_quat, state.phys.base_quat),
+            base_lin_vel=jnp.where(mm, cand.base_lin_vel, state.phys.base_lin_vel),
+            base_ang_vel=jnp.where(mm, cand.base_ang_vel, state.phys.base_ang_vel),
+            q=jnp.where(mm, cand.q, state.phys.q),
+            qd=jnp.where(mm, cand.qd, state.phys.qd),
+        )
+        state = state._replace(phys=phys)
+        # resample commands for reset envs (also updates curriculum with the
+        # terminated episodes' stats)
+        state = self._resample_commands(state, mask, rng_cmd)
+        # dof-prop DR on reset (legged_robot.py:165)
+        state = self._apply_dof_props_mask(
+            state, mask, jax.random.fold_in(rng, 1))
+        return state._replace(
+            last_actions=jnp.where(mm, 0.0, state.last_actions),
+            last_last_actions=jnp.where(mm, 0.0, state.last_last_actions),
+            last_dof_vel=jnp.where(mm, 0.0, state.last_dof_vel),
+            episode_length=jnp.where(mask, 0, state.episode_length),
+            gait_indices=jnp.where(mask, 0.0, state.gait_indices),
+            lag_buffer=jnp.where(mask[:, None, None], 0.0, state.lag_buffer),
+            episode_sums=jnp.where(mm, 0.0, state.episode_sums),
+        )
+
+    # -- public reset ------------------------------------------------------
+    def reset(self, rng: jax.Array, random_episode_lengths: bool = False):
+        """Full reset: fresh state, all envs reset, one zero-action step
+        (reference BaseTask.reset, base_task.py:98-103)."""
+        k_init, k_reset, k_cmd, k_ep, k_step = jax.random.split(rng, 5)
+        state = self.init_state(k_init)
+        state = self._reset_envs(state, jnp.ones(self.num_envs, bool),
+                                 k_reset, k_cmd)
+        if random_episode_lengths:
+            state = state._replace(episode_length=jax.random.randint(
+                k_ep, (self.num_envs,), 0, self.max_episode_length))
+        state = state._replace(rng=k_step)
+        state, obs_dict, _, _, _ = self.step(
+            state, jnp.zeros((self.num_envs, self.num_actions)))
+        return state, obs_dict

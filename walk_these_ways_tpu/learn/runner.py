@@ -1,0 +1,163 @@
+"""Training driver.
+
+TPU-native rebuild of the reference Runner (reference:
+go1_gym_learn/ppo_cse/__init__.py:62-308).  The per-iteration work —
+24-step rollout + GAE + PPO + adaptation update — is one jitted device
+program from learn/ppo.py; this host loop only dispatches iterations,
+drains on-device logging accumulators at log_freq, checkpoints, and exports
+the deployable policy (adaptation module + actor body as flat .npz weight
+artifacts — the analog of the reference's TorchScript exports,
+ppo_cse/__init__.py:240-251, consumed by play/deploy).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs import curriculum as curr
+from ..utils import checkpoint as ckpt
+from ..utils.metrics_logger import MetricsLogger
+from . import ppo as ppo_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class RunnerArgs:
+    """reference ppo_cse/__init__.py:43-59"""
+    num_steps_per_env: int = 24
+    max_iterations: int = 1500
+    save_interval: int = 400
+    log_freq: int = 10
+    resume: bool = False
+    resume_path: Optional[str] = None
+
+
+class Runner:
+    def __init__(self, env, log_dir: str = "./runs/latest", seed: int = 1,
+                 args: RunnerArgs = RunnerArgs(),
+                 ppo_args: ppo_mod.PPO_Args = ppo_mod.PPO_Args()):
+        self.env = env
+        self.args = args
+        self.ppo_args = ppo_args
+        self.log_dir = log_dir
+        self.logger = MetricsLogger(log_dir)
+
+        rng = jax.random.PRNGKey(seed)
+        k_ts, self._reset_key = jax.random.split(rng)
+        self.train_state = ppo_mod.init_train_state(k_ts, env, ppo_args)
+        self.train_iter = jax.jit(ppo_mod.make_train_iteration(
+            env, ppo_args, num_steps=args.num_steps_per_env))
+        self.env_state = None
+        self.obs_dict = None
+        self.tot_timesteps = 0
+
+        if args.resume and args.resume_path:
+            self.load(args.resume_path)
+
+    def learn(self, num_learning_iterations: Optional[int] = None,
+              init_at_random_ep_len: bool = True):
+        n_iters = num_learning_iterations or self.args.max_iterations
+        if self.env_state is None:
+            self.env_state, self.obs_dict = self.env.reset(
+                self._reset_key, random_episode_lengths=init_at_random_ep_len)
+
+        term_names = list(self.env.reward_names) + ["total"]
+        ep_sums_acc = np.zeros(len(term_names))
+        ep_count_acc = 0.0
+        ep_len_acc = 0.0
+        t_start = time.time()
+
+        start_iter = int(self.train_state.iteration)
+        for it in range(start_iter, start_iter + n_iters):
+            t0 = time.time()
+            self.env_state, self.obs_dict, self.train_state, metrics = \
+                self.train_iter(self.env_state, self.obs_dict, self.train_state)
+            # host-side logging only (no effect on device program)
+            m = jax.device_get(metrics)
+            iter_time = time.time() - t0
+            self.tot_timesteps += self.args.num_steps_per_env * self.env.num_envs
+
+            ep_sums_acc += m.ep_sums_done
+            ep_count_acc += float(m.ep_count_done)
+            ep_len_acc += float(m.ep_len_done)
+
+            self.logger.store(
+                mean_value_loss=m.value_loss,
+                mean_surrogate_loss=m.surrogate_loss,
+                adaptation_loss=m.adaptation_loss,
+                mean_adaptation_module_test_loss=m.adaptation_test_loss,
+                mean_kl=m.mean_kl, lr=m.lr,
+                mean_reward_per_step=m.mean_reward,
+                time_iter=iter_time,
+            )
+            for c, name in enumerate(curr.CATEGORY_NAMES):
+                self.logger.store(**{f"command_area_{name}":
+                                     float(m.curriculum_area[c])})
+
+            if (it + 1) % self.args.log_freq == 0:
+                extra = {"iterations": it + 1, "timesteps": self.tot_timesteps}
+                if ep_count_acc > 0:
+                    for i, name in enumerate(term_names):
+                        extra[f"train/episode/rew_{name}/mean"] = (
+                            ep_sums_acc[i] / ep_count_acc)
+                    extra["train/episode/mean_episode_length"] = (
+                        ep_len_acc / ep_count_acc)
+                ep_sums_acc[:] = 0.0
+                ep_count_acc = 0.0
+                ep_len_acc = 0.0
+                row = self.logger.summary(**extra)
+                steps_s = self.tot_timesteps / max(time.time() - t_start, 1e-9)
+                print(f"it {it+1:5d} | rew/step "
+                      f"{row.get('mean_reward_per_step', 0):.4f} | "
+                      f"vloss {row.get('mean_value_loss', 0):.3f} | "
+                      f"aloss {row.get('adaptation_loss', 0):.5f} | "
+                      f"env-steps/s {steps_s:,.0f}", flush=True)
+
+            if (it + 1) % self.args.save_interval == 0:
+                self.save(os.path.join(self.log_dir, "checkpoints",
+                                       f"train_state_{it+1:06d}.pkl"))
+                self.export_policy(os.path.join(self.log_dir, "checkpoints"))
+
+        self.save(os.path.join(self.log_dir, "checkpoints",
+                               "train_state_last.pkl"))
+        self.export_policy(os.path.join(self.log_dir, "checkpoints"))
+        return self.train_state
+
+    # -- persistence ------------------------------------------------------
+    def save(self, path: str):
+        ckpt.save(path, {
+            "train_state": self.train_state,
+            "env_state": self.env_state,
+            "obs_dict": self.obs_dict,
+        })
+
+    def load(self, path: str):
+        loaded = ckpt.load(path)
+        self.train_state = ckpt.restore_like(
+            self.train_state, loaded["train_state"])
+        if self.env_state is None:
+            self.env_state, self.obs_dict = self.env.reset(self._reset_key)
+        self.env_state = ckpt.restore_like(self.env_state, loaded["env_state"])
+        self.obs_dict = {
+            k: jnp.asarray(v) for k, v in loaded["obs_dict"].items()}
+
+    def export_policy(self, dirpath: str):
+        """Deployment artifact: flat npz of adaptation + actor weights
+        (the analog of {adaptation_module,body}_latest.jit,
+        ppo_cse/__init__.py:240-251)."""
+        os.makedirs(dirpath, exist_ok=True)
+        p = self.train_state.params
+        flat = {}
+        for i, (w, b) in enumerate(zip(p.adaptation.weights, p.adaptation.biases)):
+            flat[f"adaptation/w{i}"] = np.asarray(w)
+            flat[f"adaptation/b{i}"] = np.asarray(b)
+        for i, (w, b) in enumerate(zip(p.actor.weights, p.actor.biases)):
+            flat[f"actor/w{i}"] = np.asarray(w)
+            flat[f"actor/b{i}"] = np.asarray(b)
+        flat["std"] = np.asarray(p.std)
+        np.savez(os.path.join(dirpath, "policy_latest.npz"), **flat)
