@@ -1,0 +1,60 @@
+"""Headline benchmark: full-config training throughput at 4000 envs.
+
+Measures end-to-end env-steps/s of the complete training loop (physics x4
+decimation + actuator net + MoB rewards + DR + curriculum + PPO/adaptation
+update — the `scripts/train.py` configuration of the reference) on one chip.
+
+Baseline: the reference publishes no benchmark numbers (BASELINE.md).  We
+use 60,000 env-steps/s as the assumed IsaacGym-on-A100 figure for this
+workload (4000 envs, actuator net, 30-step obs history; legged-gym-family
+stacks report ~50-100k env-steps/s on A100 for comparable quadruped tasks,
+with walk-these-ways at the heavier end of per-step work).  vs_baseline is
+measured/60000 — the north-star target is >= 5.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main(num_envs: int = 4000, warmup: int = 2, iters: int = 5):
+    from walk_these_ways_tpu.go1_config import mob_train_cfg
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+    from walk_these_ways_tpu.learn import ppo as ppo_mod
+
+    cfg = mob_train_cfg(num_envs=num_envs)
+    env = LeggedRobotEnv(cfg)
+    rng = jax.random.PRNGKey(0)
+    ts = ppo_mod.init_train_state(rng, env)
+    env_state, obs_dict = env.reset(jax.random.PRNGKey(1),
+                                    random_episode_lengths=True)
+    num_steps = 24
+    train_iter = jax.jit(ppo_mod.make_train_iteration(env, num_steps=num_steps))
+
+    for _ in range(warmup):
+        env_state, obs_dict, ts, metrics = train_iter(env_state, obs_dict, ts)
+    jax.block_until_ready(metrics.value_loss)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        env_state, obs_dict, ts, metrics = train_iter(env_state, obs_dict, ts)
+    jax.block_until_ready(metrics.value_loss)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = iters * num_steps * num_envs / dt
+    baseline = 60000.0
+    print(json.dumps({
+        "metric": "train_env_steps_per_s_4000env",
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / baseline, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    main(num_envs=n)

@@ -1,0 +1,96 @@
+"""Policy evaluation rollout (sim "play").
+
+Equivalent of reference scripts/play.py:17-162: load an exported policy
+artifact (policy_latest.npz), run 1 env with DR off under a fixed trot
+command at 1.5 m/s for 250 steps, and report tracking statistics.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_policy(path):
+    """Student policy from the flat npz export (runner.export_policy)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from walk_these_ways_tpu.models import actor_critic as ac
+
+    z = np.load(path)
+    def mlp(prefix, n):
+        ws = tuple(jnp.asarray(z[f"{prefix}/w{i}"]) for i in range(n))
+        bs = tuple(jnp.asarray(z[f"{prefix}/b{i}"]) for i in range(n))
+        return ac.MLPParams(weights=ws, biases=bs)
+    adaptation = mlp("adaptation", 3)
+    actor = mlp("actor", 4)
+
+    def policy(obs_history):
+        latent = ac.mlp_apply(adaptation, obs_history)
+        return ac.mlp_apply(
+            actor, jnp.concatenate([obs_history, latent], axis=-1))
+    return policy
+
+
+def play_go1(policy_path: str, steps: int = 250):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dataclasses import replace
+    from walk_these_ways_tpu.go1_config import mob_train_cfg
+    from walk_these_ways_tpu.config import DomainRandCfg, NoiseCfg
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+
+    cfg = mob_train_cfg(num_envs=1)
+    # DR off, noise off (reference play.py:46-61)
+    cfg = replace(cfg, domain_rand=DomainRandCfg(
+        randomize_friction=False, randomize_restitution=False,
+        randomize_base_mass=False, randomize_com_displacement=False,
+        randomize_motor_strength=False, randomize_motor_offset=False,
+        randomize_gravity=False, push_robots=False,
+        randomize_lag_timesteps=True, lag_timesteps=6,
+        randomize_Kp_factor=False, randomize_Kd_factor=False),
+        noise=NoiseCfg(add_noise=False))
+    env = LeggedRobotEnv(cfg)
+    policy = load_policy(policy_path)
+
+    # fixed trot command @ 1.5 m/s (reference play.py:101-136)
+    gaits = {"pronk": [0, 0, 0], "trot": [0.5, 0, 0],
+             "pace": [0, 0.5, 0], "bound": [0, 0, 0.5]}
+    cmd = np.zeros(15, np.float32)
+    cmd[0] = 1.5                  # x vel
+    cmd[3] = 0.0                  # body height
+    cmd[4] = 3.0                  # frequency
+    cmd[5:8] = gaits["trot"]
+    cmd[8] = 0.5                  # duration
+    cmd[9] = 0.08                 # footswing height
+    cmd[12] = 0.25                # stance width
+
+    state, obs = env.reset(jax.random.PRNGKey(42))
+    step = jax.jit(env.step)
+    pol = jax.jit(policy)
+    xs, vxs = [], []
+    for i in range(steps):
+        state = state._replace(
+            commands=jnp.asarray(cmd)[None, :].repeat(1, 0))
+        actions = pol(obs["obs_history"])
+        state, obs, rew, done, info = step(state, actions)
+        from walk_these_ways_tpu.ops import quat as qops
+        v_body = qops.quat_rotate_inverse(
+            state.phys.base_quat, state.phys.base_lin_vel)
+        vxs.append(float(v_body[0, 0]))
+        xs.append(float(state.phys.base_pos[0, 0]))
+    import numpy as np
+    vxs = np.array(vxs)
+    print(f"mean vx over rollout: {vxs.mean():.3f} m/s (target 1.5)")
+    print(f"final displacement: {xs[-1] - xs[0]:.2f} m in {steps*env.dt:.1f} s")
+    return vxs
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--policy", type=str,
+                   default="runs/latest/checkpoints/policy_latest.npz")
+    p.add_argument("--steps", type=int, default=250)
+    a = p.parse_args()
+    play_go1(a.policy, a.steps)

@@ -1,0 +1,40 @@
+"""Train the full walk-these-ways MoB policy.
+
+Equivalent of reference scripts/train.py:1-256 (train_go1): the config is the
+`mob_train_cfg` preset (same ~200 overrides baked in), the trainer is the
+jitted PPO-CSE loop, logging goes to a local JSONL run dir.
+
+Usage: python scripts/train.py [--num-envs 4000] [--iterations 1500]
+"""
+import argparse
+import os
+import sys
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int):
+    from walk_these_ways_tpu.go1_config import mob_train_cfg
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+    from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
+
+    cfg = mob_train_cfg(num_envs=num_envs)
+    env = LeggedRobotEnv(cfg)
+    runner = Runner(env, log_dir=log_dir, seed=seed,
+                    args=RunnerArgs(max_iterations=iterations))
+    runner.learn(num_learning_iterations=iterations,
+                 init_at_random_ep_len=True)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-envs", type=int, default=4000)
+    p.add_argument("--iterations", type=int, default=1500)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--log-dir", type=str, default=None)
+    a = p.parse_args()
+    log_dir = a.log_dir or os.path.join(
+        "runs", "gait-conditioned-agility",
+        datetime.now().strftime("%Y-%m-%d/train/%H%M%S"))
+    train_go1(a.num_envs, a.iterations, log_dir, a.seed)

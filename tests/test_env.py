@@ -1,0 +1,138 @@
+"""Environment behavior tests against reference semantics oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from walk_these_ways_tpu.go1_config import mob_train_cfg, small_train_cfg
+from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+
+
+@pytest.fixture(scope="module")
+def env_and_state():
+    cfg = mob_train_cfg(num_envs=4)
+    env = LeggedRobotEnv(cfg)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    return env, state, obs
+
+
+def test_obs_layout(env_and_state):
+    """Train-config obs = 70 = 3 gravity + 15 cmds + 12 q + 12 qd + 12 a +
+    12 last_a + 4 clock (SURVEY.md §2.1 / legged_robot.py:302-372)."""
+    env, state, obs = env_and_state
+    assert obs["obs"].shape == (4, 70)
+    assert obs["privileged_obs"].shape == (4, 2)
+    assert obs["obs_history"].shape == (4, 30 * 70)
+    # obs history's last chunk is the current obs
+    np.testing.assert_allclose(
+        np.asarray(obs["obs_history"][:, -70:]), np.asarray(obs["obs"]))
+
+
+def test_priv_obs_encodes_friction_restitution(env_and_state):
+    """Privileged obs = scaled (friction, restitution) (train.py:78,
+    legged_robot.py:383-414 with normalization ranges [0,1])."""
+    env, state, obs = env_and_state
+    fr = np.asarray(state.friction_coeffs)
+    re = np.asarray(state.restitutions)
+    expect = np.stack([(fr - 0.5) * 2.0, (re - 0.5) * 2.0], axis=-1)
+    np.testing.assert_allclose(np.asarray(obs["privileged_obs"]), expect,
+                               atol=1e-5)
+
+
+def test_command_resample_zeroes_small_vels(env_and_state):
+    env, state, obs = env_and_state
+    cmds = np.asarray(state.commands)
+    norms = np.linalg.norm(cmds[:, :2], axis=-1)
+    assert ((norms == 0) | (norms > 0.2)).all()
+
+
+def test_gait_clock_trot_phase_opposition():
+    """For a trot command (phase 0.5, offset/bound 0) diagonal feet share
+    the clock: FL==RR, FR==RL, opposite pairs (legged_robot.py:826-861)."""
+    cfg = mob_train_cfg(num_envs=2)
+    env = LeggedRobotEnv(cfg)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    cmd = np.zeros((2, 15), np.float32)
+    cmd[:, 4] = 3.0   # freq
+    cmd[:, 5] = 0.5   # phase (trot)
+    cmd[:, 8] = 0.5   # duration
+    state = state._replace(commands=jnp.asarray(cmd))
+    step = jax.jit(env.step)
+    for _ in range(5):
+        state, obs, rew, done, info = step(state, jnp.zeros((2, 12)))
+        # guard: resampling may overwrite commands on reset; re-pin
+        state = state._replace(commands=jnp.asarray(cmd))
+    clock = np.asarray(state.clock_inputs)
+    np.testing.assert_allclose(clock[:, 0], clock[:, 3], atol=1e-5)  # FL==RR
+    np.testing.assert_allclose(clock[:, 1], clock[:, 2], atol=1e-5)  # FR==RL
+    np.testing.assert_allclose(clock[:, 0], -clock[:, 1], atol=1e-5)
+    des = np.asarray(state.desired_contact_states)
+    np.testing.assert_allclose(des[:, 0], des[:, 3], atol=1e-5)
+
+
+def test_auto_reset_on_body_height():
+    """Terminal body height 0.05 (train.py:110-111): dropping the base
+    below it forces a reset with episode_length back to 0."""
+    cfg = mob_train_cfg(num_envs=2)
+    env = LeggedRobotEnv(cfg)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    # sink robots under the terrain
+    bad = state.phys._replace(
+        base_pos=state.phys.base_pos.at[:, 2].set(0.01))
+    state = state._replace(phys=bad)
+    state, obs, rew, done, info = jax.jit(env.step)(
+        state, jnp.zeros((2, 12)))
+    assert bool(done.all())
+    np.testing.assert_array_equal(np.asarray(state.episode_length), 0)
+    # reset pose is back at a sane height
+    assert (np.asarray(state.phys.base_pos[:, 2]) > 0.1).all()
+
+
+def test_episode_timeout():
+    cfg = small_train_cfg(num_envs=2)
+    env = LeggedRobotEnv(cfg)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    state = state._replace(
+        episode_length=jnp.full((2,), env.max_episode_length, jnp.int32))
+    state, obs, rew, done, info = jax.jit(env.step)(
+        state, jnp.zeros((2, 12)))
+    assert bool(done.all())
+    assert bool(info.time_outs.all())
+
+
+def test_rewards_finite_and_ji22_nonnegative():
+    """only_positive_rewards_ji22_style: total = pos * exp(neg/sigma) >= 0
+    (legged_robot.py:286-287)."""
+    cfg = mob_train_cfg(num_envs=4)
+    env = LeggedRobotEnv(cfg)
+    state, obs = env.reset(jax.random.PRNGKey(2))
+    step = jax.jit(env.step)
+    rng = jax.random.PRNGKey(3)
+    for i in range(10):
+        rng, k = jax.random.split(rng)
+        a = jax.random.normal(k, (4, 12))
+        state, obs, rew, done, info = step(state, a)
+        r = np.asarray(rew)
+        assert np.isfinite(r).all()
+        assert (r >= 0).all()
+
+
+def test_determinism_same_seed():
+    cfg = small_train_cfg(num_envs=4)
+    env = LeggedRobotEnv(cfg)
+
+    def rollout(seed):
+        state, obs = env.reset(jax.random.PRNGKey(seed))
+        step = jax.jit(env.step)
+        outs = []
+        for i in range(5):
+            state, obs, rew, done, info = step(
+                state, 0.05 * jnp.ones((4, 12)))
+            outs.append(np.asarray(rew))
+        return np.stack(outs)
+
+    a = rollout(7)
+    b = rollout(7)
+    np.testing.assert_array_equal(a, b)
+    c = rollout(8)
+    assert not np.array_equal(a, c)

@@ -1,0 +1,116 @@
+"""PPO component tests: GAE against a numpy oracle mirroring the reference
+reverse scan (rollout_storage.py:76-90), log-prob/entropy oracles, and a
+full train-iteration smoke + checkpoint roundtrip."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from walk_these_ways_tpu.models import actor_critic as ac
+from walk_these_ways_tpu.learn import ppo as ppo_mod
+
+
+def _ref_gae(rewards, dones, values, last_values, gamma, lam):
+    T, N = rewards.shape
+    returns = np.zeros((T, N))
+    adv = np.zeros(N)
+    for t in reversed(range(T)):
+        next_v = last_values if t == T - 1 else values[t + 1]
+        not_term = 1.0 - dones[t]
+        delta = rewards[t] + not_term * gamma * next_v - values[t]
+        adv = delta + not_term * gamma * lam * adv
+        returns[t] = adv + values[t]
+    advs = returns - values
+    advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+    return returns, advs
+
+
+def test_gae_matches_reference_scan():
+    rng = np.random.RandomState(0)
+    T, N = 24, 7
+    rewards = rng.randn(T, N).astype(np.float32)
+    dones = (rng.rand(T, N) < 0.1).astype(np.float32)
+    values = rng.randn(T, N).astype(np.float32)
+    last_values = rng.randn(N).astype(np.float32)
+    args = ppo_mod.PPO_Args()
+
+    # build the internal GAE through make_train_iteration's helper by
+    # reimplementing the same scan here
+    class Traj:
+        pass
+
+    def jax_gae():
+        def scan_fn(adv, t):
+            r, d, v, nv = t
+            not_term = 1.0 - d
+            delta = r + not_term * args.gamma * nv - v
+            adv = delta + not_term * args.gamma * args.lam * adv
+            return adv, adv
+
+        next_values = jnp.concatenate(
+            [jnp.asarray(values[1:]), jnp.asarray(last_values)[None]], 0)
+        _, advs = jax.lax.scan(
+            scan_fn, jnp.zeros(N),
+            (jnp.asarray(rewards), jnp.asarray(dones),
+             jnp.asarray(values), next_values), reverse=True)
+        returns = advs + values
+        n = (advs + values - values)
+        norm = (n - n.mean()) / (n.std() + 1e-8)
+        return np.asarray(returns), np.asarray(norm)
+
+    ret_ref, adv_ref = _ref_gae(rewards, dones, values, last_values,
+                                args.gamma, args.lam)
+    ret_jax, adv_jax = jax_gae()
+    np.testing.assert_allclose(ret_jax, ret_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(adv_jax, adv_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gaussian_logprob_entropy():
+    rng = np.random.RandomState(1)
+    x = rng.randn(16, 12).astype(np.float32)
+    mean = rng.randn(16, 12).astype(np.float32)
+    std = np.abs(rng.randn(12).astype(np.float32)) + 0.1
+    stdb = np.broadcast_to(std, x.shape)
+    lp = np.asarray(ac.gaussian_log_prob(
+        jnp.asarray(x), jnp.asarray(mean), jnp.asarray(stdb)))
+    # scipy-free oracle
+    ref = (-0.5 * ((x - mean) / stdb) ** 2 - np.log(stdb)
+           - 0.5 * np.log(2 * np.pi)).sum(-1)
+    np.testing.assert_allclose(lp, ref, rtol=1e-4, atol=1e-4)
+    ent = np.asarray(ac.gaussian_entropy(jnp.asarray(stdb)))
+    ref_ent = (0.5 + 0.5 * np.log(2 * np.pi) + np.log(stdb)).sum(-1)
+    np.testing.assert_allclose(ent, ref_ent, rtol=1e-5)
+
+
+def test_actor_critic_shapes():
+    params = ac.init(jax.random.PRNGKey(0), 70, 2, 2100, 12)
+    hist = jnp.zeros((5, 2100))
+    priv = jnp.zeros((5, 2))
+    assert ac.adaptation_forward(params, hist).shape == (5, 2)
+    assert ac.actor_mean(params, hist).shape == (5, 12)
+    assert ac.act_teacher(params, hist, priv).shape == (5, 12)
+    assert ac.evaluate(params, hist, priv).shape == (5,)
+
+
+def test_train_iteration_and_checkpoint(tmp_path):
+    from walk_these_ways_tpu.go1_config import small_train_cfg
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+    from walk_these_ways_tpu.utils import checkpoint as ckpt
+
+    cfg = small_train_cfg(num_envs=8)
+    env = LeggedRobotEnv(cfg)
+    ts = ppo_mod.init_train_state(jax.random.PRNGKey(0), env)
+    es, obs = env.reset(jax.random.PRNGKey(1))
+    it = jax.jit(ppo_mod.make_train_iteration(env, num_steps=8))
+    es, obs, ts, m = it(es, obs, ts)
+    assert np.isfinite(float(m.value_loss))
+    assert np.isfinite(float(m.adaptation_loss))
+    assert int(ts.iteration) == 1
+
+    path = str(tmp_path / "ck.pkl")
+    ckpt.save(path, {"ts": ts})
+    loaded = ckpt.load(path)
+    ts2 = ckpt.restore_like(ts, loaded["ts"])
+    a = jax.tree.leaves(ts.params)
+    b = jax.tree.leaves(ts2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
