@@ -153,13 +153,13 @@ def _build_topology(nb, parent, nj, joint_body):
 # ---------------------------------------------------------------------------
 
 _GO1_TRUNK = dict(
-    mass=4.801,  # trunk 4.8 + imu 0.001 (fixed-joint collapsed)
-    com=np.array([0.011609, 0.004423, 0.000107]),
+    mass=4.801,  # trunk 4.8 + imu 0.001 (fixed-joint collapsed, exact merge)
+    com=np.array([0.01160526557, 0.00442220579, 0.000106692356]),
     inertia=np.array(
         [
-            [0.016140, 0.000593, 7.325e-06],
-            [0.000593, 0.036517, 2.097e-05],
-            [7.325e-06, 2.097e-05, 0.044712],
+            [1.623582510802e-02, 5.912255699624e-04, 7.151858382754e-06],
+            [5.912255699624e-04, 3.660860801516e-02, 2.052372237205e-05],
+            [7.151858382754e-06, 2.052372237205e-05, 4.479967363503e-02],
         ]
     ),
 )
@@ -229,13 +229,14 @@ def go1() -> RobotModel:
         body_names.append(f"{leg}_hip")
         parent.append(base_idx)
         mass.append(_HIP_MASS)
-        # com mirrors: x flips with front/back, y with side
-        com.append(np.array([-0.00541 * fx, 0.00074 * s, 6e-06]))
+        # com mirrors: x flips with front/back; y carries the OPPOSITE of the
+        # side sign (go1.urdf: FR_hip com y = +0.00074, FL_hip = -0.00074)
+        com.append(np.array([-0.00541 * fx, -0.00074 * s, 6e-06]))
         Ih = _HIP_I.copy()
-        # products of inertia flip with the mirror signs
-        Ih[0, 1] = Ih[1, 0] = _HIP_I[0, 1] * fx * s
+        # products of inertia mirror with the reflection signs
+        Ih[0, 1] = Ih[1, 0] = _HIP_I[0, 1] * (-fx * s)
         Ih[0, 2] = Ih[2, 0] = _HIP_I[0, 2] * fx
-        Ih[1, 2] = Ih[2, 1] = _HIP_I[1, 2] * s
+        Ih[1, 2] = Ih[2, 1] = _HIP_I[1, 2] * (-s)
         inertia.append(Ih)
         joint_names.append(f"{leg}_hip_joint")
         joint_body.append(hip_idx)

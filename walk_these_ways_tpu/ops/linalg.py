@@ -1,0 +1,107 @@
+"""Closed-form batched small-matrix inverses for the dynamics hot path.
+
+TPU's generic linalg lowering (LAPACK-style Cholesky / LU / triangular
+solves) is sequential and layout-hostile for small batched matrices — on a
+(N, 18, 18) batch it dominated the physics substep by >10x.  This module
+replaces it with *branch-free closed forms* that XLA fuses into large
+elementwise/VPU work over the env batch:
+
+- `inv3`: 3x3 inverse by adjugate (9 cofactors + one reciprocal).
+- `inv_spd6`: SPD 6x6 inverse via one level of 3x3 Schur complements.
+- `mass_matrix_inverse`: SPD (6 + 3*L)x(6 + 3*L) inverse specialized to the
+  "star of 3-dof chains" topology of a quadruped (reference robot: 4 legs x
+  {hip, thigh, calf}): the joint-joint block D is block-diagonal per leg
+  (legs couple only through the floating base), so
+
+      M = [[A, B], [B^T, D]],   D = blockdiag(D_1..D_4)  (3x3 each)
+      M^-1 via D^-1 (4 closed-form 3x3 inverses) + a 6x6 Schur complement.
+
+  Total: ~6 3x3 inversions and a handful of small einsums — no sequential
+  dependency chains at all, everything batched over N on the VPU/MXU.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def inv3(m: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Batched 3x3 inverse by adjugate. m: (..., 3, 3)."""
+    if eps:
+        m = m + eps * jnp.eye(3, dtype=m.dtype)
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    D = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    H = -(a * f - c * d)
+    I = a * e - b * d
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([A, D, G], axis=-1),
+        jnp.stack([B, E, H], axis=-1),
+        jnp.stack([C, F, I], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
+def inv_spd6(m: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Batched SPD 6x6 inverse via 3x3 block Schur. m: (..., 6, 6)."""
+    P = m[..., :3, :3]
+    Q = m[..., :3, 3:]
+    R = m[..., 3:, 3:]
+    Pinv = inv3(P, eps)
+    # Schur complement of P
+    S = R - jnp.einsum("...ji,...jk,...kl->...il", Q, Pinv, Q)
+    Sinv = inv3(S, eps)
+    PiQ = Pinv @ Q                                  # (..., 3, 3)
+    TL = Pinv + jnp.einsum("...ij,...jk,...lk->...il", PiQ, Sinv, PiQ)
+    TR = -PiQ @ Sinv
+    BL = jnp.swapaxes(TR, -1, -2)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Sinv], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def mass_matrix_inverse(M: jnp.ndarray, num_chains: int = 4,
+                        chain_len: int = 3, eps: float = 1e-8) -> jnp.ndarray:
+    """Explicit inverse of the floating-base mass matrix.
+
+    M: (N, 6 + num_chains*chain_len, 6 + num_chains*chain_len), SPD, with
+    the joint-joint block D block-diagonal in chain_len-sized blocks.
+    Returns (N, nv, nv).
+    """
+    C, L = num_chains, chain_len
+    nj = C * L
+    N = M.shape[0]
+    A = M[..., :6, :6]
+    B = M[..., :6, 6:]                              # (N, 6, nj)
+    Dview = M[..., 6:, 6:].reshape(N, C, L, C, L)
+    idx = jnp.arange(C)
+    # advanced indexing moves the broadcast dim to the front: (C, N, L, L)
+    Dblocks = jnp.transpose(Dview[:, idx, :, idx, :], (1, 0, 2, 3))
+    if L == 3:
+        Dblocks_inv = inv3(Dblocks, eps)
+    else:
+        Dblocks_inv = jnp.linalg.inv(
+            Dblocks + eps * jnp.eye(L, dtype=M.dtype))
+    # assemble block-diagonal D^-1 (N, nj, nj)
+    Dinv = jnp.zeros((N, C, L, C, L), M.dtype)
+    Dinv = Dinv.at[:, idx, :, idx, :].set(
+        jnp.transpose(Dblocks_inv, (1, 0, 2, 3)))
+    Dinv = Dinv.reshape(N, nj, nj)
+
+    BDinv = B @ Dinv                                # (N, 6, nj)
+    S = A - jnp.einsum("nij,nkj->nik", BDinv, B)    # (N, 6, 6)
+    Sinv = inv_spd6(S, eps)
+    TR = -Sinv @ BDinv                              # (N, 6, nj)
+    BL = jnp.swapaxes(TR, -1, -2)
+    BR = Dinv + jnp.einsum("nji,njk,nkl->nil", BDinv, Sinv, BDinv)
+    top = jnp.concatenate([Sinv, TR], axis=-1)
+    bot = jnp.concatenate([BL, BR], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

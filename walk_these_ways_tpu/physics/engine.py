@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.robot import RobotModel
+from ..ops import linalg as la
 from ..ops import quat as qops
 
 
@@ -258,6 +259,19 @@ def body_twists(model: RobotModel, S: jnp.ndarray, gen_vel: jnp.ndarray) -> jnp.
     return jnp.einsum("db,ndk,nd->nbk", anc, S, gen_vel)
 
 
+def _mass_matrix_inverse(model: RobotModel, M: jnp.ndarray) -> jnp.ndarray:
+    """Pick the fast closed-form inverse when the topology allows it
+    (star of 3-dof chains, e.g. quadrupeds); generic fallback otherwise.
+    The check is on static topology — resolved at trace time."""
+    njc = model.nv - 6
+    if njc > 0 and njc % 3 == 0:
+        C = njc // 3
+        expected = np.kron(np.eye(C), np.ones((3, 3)))
+        if (model.crba_conn[6:, 6:] == expected).all():
+            return la.mass_matrix_inverse(M, num_chains=C)
+    return jnp.linalg.inv(M)
+
+
 # ---------------------------------------------------------------------------
 # contact
 # ---------------------------------------------------------------------------
@@ -298,7 +312,7 @@ def flat_terrain() -> Terrain:
                    horizontal_scale=1.0, origin_xy=(-1e4, -1e4))
 
 
-def _contact_solve(model: RobotModel, params: SimParams, M_chol, S, frames,
+def _contact_solve(model: RobotModel, params: SimParams, Minv, S, frames,
                    ref, gen_vel, terrain: Terrain, dyn: DynamicsParams,
                    dt: float):
     """Velocity-level unilateral contact solve.
@@ -331,14 +345,12 @@ def _contact_solve(model: RobotModel, params: SimParams, M_chol, S, frames,
     J = Jl * anc_p.T[None, :, None, :].transpose(0, 1, 3, 2)  # mask (P, nv)
     J = jnp.swapaxes(J, 2, 3)                            # (N, P, 3, nv)
 
-    # M^-1 J^T with one Cholesky solve, many rhs
-    JT = J.reshape(N, P * 3, -1).transpose(0, 2, 1)      # (N, nv, 3P)
-    MinvJT = jax.scipy.linalg.cho_solve((M_chol, True), JT)   # (N, nv, 3P)
-    MinvJT_p = MinvJT.reshape(N, -1, P, 3).transpose(0, 2, 1, 3)  # (N, P, nv, 3)
+    # M^-1 J^T via the precomputed closed-form inverse (ops/linalg.py)
+    MinvJT_p = jnp.einsum("nvw,npiw->npvi", Minv, J)     # (N, P, nv, 3)
     # per-point effective-mass inverse blocks  W = J M^-1 J^T (3x3)
     W = jnp.einsum("npiv,npvj->npij", J, MinvJT_p)
     W = W + 1e-6 * jnp.eye(3, dtype=f32)
-    Lam = jnp.linalg.inv(W)
+    Lam = la.inv3(W)
 
     mu = 0.5 * (dyn.friction[:, None] + 1.0)             # average combine w/ ground
     e = dyn.restitution[:, None]
@@ -430,14 +442,15 @@ def physics_substep(
         [jnp.zeros((N, 6), f32), joint_torques + tau_lim], axis=-1
     )
 
-    # unconstrained velocity update
-    chol = jax.scipy.linalg.cholesky(M, lower=True)
-    qdd_free = jax.scipy.linalg.cho_solve((chol, True), (tau - bias)[..., None])[..., 0]
+    # unconstrained velocity update — closed-form M^-1 (no sequential linalg
+    # on TPU; see ops/linalg.py)
+    Minv = _mass_matrix_inverse(model, M)
+    qdd_free = jnp.einsum("nij,nj->ni", Minv, tau - bias)
     gen_vel_free = gen_vel + dt * qdd_free
 
     # contact impulses on the post-free velocity (semi-implicit)
     dv, cp_forces, p_cp = _contact_solve(
-        model, params, chol, S, frames, ref, gen_vel_free, terrain, dyn, dt
+        model, params, Minv, S, frames, ref, gen_vel_free, terrain, dyn, dt
     )
     gen_vel_new = gen_vel_free + dv
 
