@@ -132,11 +132,16 @@ class LeggedRobotEnv:
         np_rng = np.random.RandomState(terrain_seed)
         if cfg.terrain.mesh_type in ("heightfield", "trimesh"):
             arrays = terrain_mod.build(cfg.terrain, seed=terrain_seed)
-            self.terrain = engine.Terrain(
-                height=jnp.asarray(arrays.height),
-                horizontal_scale=arrays.horizontal_scale,
-                origin_xy=arrays.origin_xy,
-            )
+            if np.abs(arrays.height).max() == 0.0:
+                # all-flat tiles (e.g. the MoB train config): use the
+                # gather-free flat-ground fast path
+                self.terrain = engine.flat_terrain()
+            else:
+                self.terrain = engine.Terrain(
+                    height=jnp.asarray(arrays.height),
+                    horizontal_scale=arrays.horizontal_scale,
+                    origin_xy=arrays.origin_xy,
+                )
             origins = terrain_mod.assign_env_origins(
                 cfg.terrain, arrays, self.num_envs, np_rng)
         else:

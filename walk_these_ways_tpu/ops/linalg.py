@@ -82,19 +82,16 @@ def mass_matrix_inverse(M: jnp.ndarray, num_chains: int = 4,
     A = M[..., :6, :6]
     B = M[..., :6, 6:]                              # (N, 6, nj)
     Dview = M[..., 6:, 6:].reshape(N, C, L, C, L)
-    idx = jnp.arange(C)
-    # advanced indexing moves the broadcast dim to the front: (C, N, L, L)
-    Dblocks = jnp.transpose(Dview[:, idx, :, idx, :], (1, 0, 2, 3))
+    eye_c = jnp.eye(C, dtype=M.dtype)
+    # chain-diagonal extraction / block-diag assembly as eye-mask einsums
+    # (advanced-index gathers/scatters lower terribly on TPU)
+    Dblocks = jnp.einsum("ncidj,cd->ncij", Dview, eye_c)  # (N, C, L, L)
     if L == 3:
         Dblocks_inv = inv3(Dblocks, eps)
     else:
         Dblocks_inv = jnp.linalg.inv(
             Dblocks + eps * jnp.eye(L, dtype=M.dtype))
-    # assemble block-diagonal D^-1 (N, nj, nj)
-    Dinv = jnp.zeros((N, C, L, C, L), M.dtype)
-    Dinv = Dinv.at[:, idx, :, idx, :].set(
-        jnp.transpose(Dblocks_inv, (1, 0, 2, 3)))
-    Dinv = Dinv.reshape(N, nj, nj)
+    Dinv = jnp.einsum("ncij,cd->ncidj", Dblocks_inv, eye_c).reshape(N, nj, nj)
 
     BDinv = B @ Dinv                                # (N, 6, nj)
     S = A - jnp.einsum("nij,nkj->nik", BDinv, B)    # (N, 6, 6)

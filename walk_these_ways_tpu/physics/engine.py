@@ -222,15 +222,18 @@ def spatial_inertia(model: RobotModel, frames: BodyFrames, ref: jnp.ndarray,
 
 
 def mass_matrix(model: RobotModel, S: jnp.ndarray, I_sp: jnp.ndarray) -> jnp.ndarray:
-    """CRBA via composite subtree inertias and static pair tables. (N, nv, nv)."""
-    sub = jnp.asarray(model.subtree, dtype=S.dtype)
-    I_comp = jnp.einsum("ib,nbjk->nijk", sub, I_sp)       # composite per body
-    tmp = jnp.einsum("nbkl,njl->nbjk", I_comp, S)         # (N, nb, nv, 6)
-    # tmp_g[n, i, j] = tmp[n, crba_body[i, j], j]
-    col = np.arange(model.nv)[None, :]
-    tmp_g = tmp[:, model.crba_body, col]                  # (N, nv, nv, 6)
-    conn = jnp.asarray(model.crba_conn, dtype=S.dtype)
-    M = conn[None] * jnp.einsum("nik,nijk->nij", S, tmp_g)
+    """CRBA as a pure masked contraction (no gathers — TPU lowers constant-
+    index gathers to pathological scatter loops).  Uses the identity
+
+        M[i, j] = sum_b anc[i, b] * anc[j, b] * S_i^T I_b S_j
+
+    — bodies below both dofs are exactly the composite subtree of the deeper
+    dof, and disconnected dof pairs contribute nothing, so the reference's
+    pair tables (crba_body/crba_conn) are implied.  (N, nv, nv)."""
+    anc = jnp.asarray(model.anc_dof_body, dtype=S.dtype)  # (nv, nb)
+    # masked per-body dof twists: X[n, b, i, k] = anc[i, b] S[n, i, k]
+    IS = jnp.einsum("ib,nik,nbkl->nbil", anc, S, I_sp)    # (N, nb, nv, 6)
+    M = jnp.einsum("nbil,jb,njl->nij", IS, anc, S)
     return M
 
 
@@ -286,6 +289,12 @@ class Terrain(NamedTuple):
 
     def lookup(self, x, y):
         """Bilinear height + surface normal at world (x, y). Shapes preserved."""
+        if self.height.shape == (2, 2):
+            # flat-ground fast path (static shape check): no gathers
+            h = jnp.zeros_like(x) + self.height[0, 0]
+            n = jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 1.0], dtype=x.dtype), x.shape + (3,))
+            return h, n
         hs = self.horizontal_scale
         gx = (x - self.origin_xy[0]) / hs
         gy = (y - self.origin_xy[1]) / hs
@@ -322,10 +331,13 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, S, frames,
     f32 = gen_vel.dtype
     N = gen_vel.shape[0]
     P = model.cp_body.shape[0]
-    # contact point world positions
+    # contact point world positions — one-hot matmuls instead of gathers
+    # (constant-index gathers lower terribly on TPU)
+    cp_onehot = jnp.asarray(
+        np.eye(model.nb, dtype=np.float32)[model.cp_body], dtype=f32)  # (P, nb)
     cp_off = jnp.asarray(model.cp_offset, dtype=f32)
-    Rb = frames.R[:, model.cp_body]          # (N, P, 3, 3)
-    pb = frames.p[:, model.cp_body]
+    Rb = jnp.einsum("pb,nbij->npij", cp_onehot, frames.R)  # (N, P, 3, 3)
+    pb = jnp.einsum("pb,nbi->npi", cp_onehot, frames.p)
     p_cp = pb + jnp.einsum("npij,pj->npi", Rb, cp_off)   # (N, P, 3)
     radius = jnp.asarray(model.cp_radius, dtype=f32)
     h, n_srf = terrain.lookup(p_cp[..., 0], p_cp[..., 1])
@@ -333,8 +345,8 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, S, frames,
     active = phi > 0.0
 
     # point Jacobians J (N, P, 3, nv): rows = world velocity of contact point
-    anc = jnp.asarray(model.anc_dof_body, dtype=f32)     # (nv, nb)
-    anc_p = anc[:, model.cp_body]                        # (nv, P)
+    anc_p = jnp.asarray(
+        model.anc_dof_body[:, model.cp_body], dtype=f32)  # (nv, P) static
     r = p_cp - ref[:, None, :]                           # (N, P, 3)
     Sw, Sv = S[..., :3], S[..., 3:]                      # (N, nv, 3)
     # v_point = Sv + Sw x r  for each dof, masked by ancestry
@@ -475,8 +487,11 @@ def physics_substep(
     )
 
     # accumulate report-body contact forces (reference contact_forces tensor)
-    seg = jnp.zeros((N, model.num_report_bodies, 3), f32)
-    seg = seg.at[:, model.cp_report_body].add(cp_forces)
+    # via one-hot matmul (scatter-add lowers terribly on TPU)
+    rep_onehot = jnp.asarray(
+        np.eye(model.num_report_bodies, dtype=np.float32)[model.cp_report_body],
+        dtype=f32)                                        # (P, 17)
+    seg = jnp.einsum("pr,npi->nri", rep_onehot, cp_forces)
     foot_forces = cp_forces[:, model.cp_is_foot, :]
     return new_state, ContactInfo(report_forces=seg, foot_forces=foot_forces)
 
@@ -486,8 +501,10 @@ def foot_positions_velocities(model: RobotModel, state: PhysicsState):
     legged_robot.py:112-115). Returns ((N,4,3), (N,4,3))."""
     frames = forward_kinematics(model, state)
     f32 = state.base_pos.dtype
-    Rb = frames.R[:, model.foot_body]
-    pb = frames.p[:, model.foot_body]
+    foot_onehot = jnp.asarray(
+        np.eye(model.nb, dtype=np.float32)[model.foot_body], dtype=f32)
+    Rb = jnp.einsum("fb,nbij->nfij", foot_onehot, frames.R)
+    pb = jnp.einsum("fb,nbi->nfi", foot_onehot, frames.p)
     off = jnp.asarray(model.foot_offset, dtype=f32)
     p_foot = pb + jnp.einsum("nfij,fj->nfi", Rb, off)
     # velocity = body twist at foot point
@@ -496,7 +513,7 @@ def foot_positions_velocities(model: RobotModel, state: PhysicsState):
     )
     S = joint_twists(model, frames, state.base_pos)
     V = body_twists(model, S, gen_vel)         # (N, nb, 6) about base ref
-    Vb = V[:, model.foot_body]
+    Vb = jnp.einsum("fb,nbk->nfk", foot_onehot, V)
     w, v = Vb[..., :3], Vb[..., 3:]
     r = p_foot - state.base_pos[:, None, :]
     v_foot = v + jnp.cross(w, r)
