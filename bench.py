@@ -14,11 +14,18 @@ measured/60000 — the north-star target is >= 5.0.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main(num_envs: int = 4000, warmup: int = 2, iters: int = 5):

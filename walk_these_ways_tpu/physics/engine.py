@@ -47,6 +47,7 @@ class SimParams:
 
     dt: float = 0.005                  # physics step    (reference sim.dt)
     num_contact_iters: int = 8         # PGS iterations  (~ TGS pos iters x2)
+    contact_enabled: bool = True       # benchmarking knob
     contact_baumgarte: float = 0.2     # position-error feedback factor
     contact_slop: float = 0.002        # penetration tolerance [m]
     bounce_threshold_velocity: float = 0.5   # reference physx config
@@ -461,10 +462,15 @@ def physics_substep(
     gen_vel_free = gen_vel + dt * qdd_free
 
     # contact impulses on the post-free velocity (semi-implicit)
-    dv, cp_forces, p_cp = _contact_solve(
-        model, params, Minv, S, frames, ref, gen_vel_free, terrain, dyn, dt
-    )
-    gen_vel_new = gen_vel_free + dv
+    if params.contact_enabled:
+        dv, cp_forces, p_cp = _contact_solve(
+            model, params, Minv, S, frames, ref, gen_vel_free, terrain, dyn, dt
+        )
+        gen_vel_new = gen_vel_free + dv
+    else:
+        P = model.cp_body.shape[0]
+        cp_forces = jnp.zeros((N, P, 3), f32)
+        gen_vel_new = gen_vel_free
 
     # clamp joint velocity to URDF limits (PhysX enforces maxVelocity)
     vlim = jnp.asarray(model.dof_vel_limit, dtype=f32)
