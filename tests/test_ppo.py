@@ -114,3 +114,18 @@ def test_train_iteration_and_checkpoint(tmp_path):
     b = jax.tree.leaves(ts2.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_rma_variant_train_iteration():
+    from walk_these_ways_tpu.go1_config import small_train_cfg
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+    from walk_these_ways_tpu.learn import ppo_rma
+
+    cfg = small_train_cfg(num_envs=8)
+    env = LeggedRobotEnv(cfg)
+    ts = ppo_rma.init_train_state(jax.random.PRNGKey(0), env)
+    es, obs = env.reset(jax.random.PRNGKey(1))
+    it = jax.jit(ppo_rma.make_train_iteration(env, num_steps=8))
+    es, obs, ts, m = it(es, obs, ts)
+    assert np.isfinite(float(m["value_loss"]))
+    assert np.isfinite(float(m["adaptation_loss"]))

@@ -120,34 +120,63 @@ def _axis_angle_rotmat(axis, angle):
     return eye + s * K + (1.0 - c) * (K @ K)
 
 
+def _fk_levels(model: RobotModel):
+    """Group joints by tree depth (trace-time): [(joint_ids, parent_bodies)]."""
+    depth = np.zeros(model.nb, dtype=int)
+    for b in range(1, model.nb):
+        depth[b] = depth[model.parent[b]] + 1
+    levels = []
+    for d in range(1, depth.max() + 1):
+        js = [j for j in range(model.nj) if depth[model.joint_body[j]] == d]
+        levels.append((np.array(js),
+                       np.array([model.parent[model.joint_body[j]] for j in js])))
+    return levels
+
+
 def forward_kinematics(model: RobotModel, state: PhysicsState) -> BodyFrames:
-    N = state.base_pos.shape[0]
+    """Batched FK, vectorized across same-depth joints (all 4 legs' hips in
+    one op, then thighs, then calves) — a 3-deep chain of wide ops instead
+    of a 12-deep chain of narrow ones."""
     f32 = state.base_pos.dtype
-    Rs = [qops.quat_to_rotmat(state.base_quat)]
-    ps = [state.base_pos]
-    axes_w, anchors_w = [], []
-    for j in range(model.nj):
-        b = int(model.joint_body[j])
-        par = int(model.parent[b])
-        Rp, pp = Rs[par], ps[par]
-        anchor = jnp.asarray(model.joint_anchor[j], dtype=f32)
-        axis = jnp.asarray(model.joint_axis[j], dtype=f32)
-        p_j = pp + jnp.einsum("nij,j->ni", Rp, anchor)
-        Rj = Rp @ _axis_angle_rotmat(axis, state.q[:, j])
-        Rs.append(Rj)
-        ps.append(p_j)
-        axes_w.append(jnp.einsum("nij,j->ni", Rp, axis))
-        anchors_w.append(p_j)
+    Rs = [None] * model.nb
+    ps = [None] * model.nb
+    Rs[0] = qops.quat_to_rotmat(state.base_quat)
+    ps[0] = state.base_pos
+    axes_w = [None] * model.nj
+    for js, parents in _fk_levels(model):
+        Rp = jnp.stack([Rs[pb] for pb in parents], axis=1)    # (N, L, 3, 3)
+        pp = jnp.stack([ps[pb] for pb in parents], axis=1)    # (N, L, 3)
+        anchors = jnp.asarray(model.joint_anchor[js], dtype=f32)   # (L, 3)
+        axes = jnp.asarray(model.joint_axis[js], dtype=f32)        # (L, 3)
+        K = jnp.asarray(
+            np.stack([np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]],
+                                [-a[1], a[0], 0]])
+                      for a in model.joint_axis[js]]), dtype=f32)  # (L, 3, 3)
+        ang = state.q[:, js]                                        # (N, L)
+        s = jnp.sin(ang)[..., None, None]
+        c = jnp.cos(ang)[..., None, None]
+        rot = (jnp.eye(3, dtype=f32) + s * K[None]
+               + (1.0 - c) * (K @ K)[None])                        # (N, L, 3, 3)
+        Rj = Rp @ rot
+        pj = pp + jnp.einsum("nlij,lj->nli", Rp, anchors)
+        aw = jnp.einsum("nlij,lj->nli", Rp, axes)
+        for k, j in enumerate(js):
+            b = int(model.joint_body[j])
+            Rs[b] = Rj[:, k]
+            ps[b] = pj[:, k]
+            axes_w[j] = aw[:, k]
     R = jnp.stack(Rs, axis=1)
     p = jnp.stack(ps, axis=1)
     com_l = jnp.asarray(model.com, dtype=f32)
     com = p + jnp.einsum("nbij,bj->nbi", R, com_l)
+    anchors_w = jnp.stack([ps[int(model.joint_body[j])]
+                           for j in range(model.nj)], axis=1)
     return BodyFrames(
         R=R,
         p=p,
         com=com,
         joint_axis_w=jnp.stack(axes_w, axis=1),
-        joint_anchor_w=jnp.stack(anchors_w, axis=1),
+        joint_anchor_w=anchors_w,
     )
 
 
@@ -241,17 +270,23 @@ def mass_matrix(model: RobotModel, S: jnp.ndarray, I_sp: jnp.ndarray) -> jnp.nda
 def bias_forces(model: RobotModel, S: jnp.ndarray, I_sp: jnp.ndarray,
                 V_body: jnp.ndarray, gen_vel: jnp.ndarray,
                 gravity: jnp.ndarray) -> jnp.ndarray:
-    """RNEA with qdd=0 (Coriolis + gravity), world-spatial form. (N, nv)."""
+    """RNEA with qdd=0 (Coriolis + gravity), world-spatial form. (N, nv).
+
+    The usual parent->child acceleration recursion expands to a masked sum —
+    A_b = A_base + sum_{j in path(b)} (V_child(j) x^ S_j) qd_j — so the whole
+    thing is three batched contractions, no sequential chain (TPU wants few
+    big ops, not a 12-deep dependency chain of tiny ones).
+    """
     N = gen_vel.shape[0]
     f32 = gen_vel.dtype
-    # body accelerations with qdd=0; gravity trick: A_base = [0; -g]
-    A = [jnp.concatenate([jnp.zeros((N, 3), f32), -gravity], axis=-1)]
-    for b in range(1, model.nb):
-        par = int(model.parent[b])
-        j = b - 1  # joint j moves body j+1 by construction
-        Sj = S[:, 6 + j]
-        A.append(A[par] + _motion_cross(V_body[:, b], Sj) * gen_vel[:, 6 + j, None])
-    A = jnp.stack(A, axis=1)                              # (N, nb, 6)
+    # per-joint velocity-product terms (joint j moves body j+1 by construction)
+    Vj = V_body[:, 1:, :]                                 # (N, nj, 6)
+    Sj = S[:, 6:, :]
+    C = _motion_cross(Vj, Sj) * gen_vel[:, 6:, None]      # (N, nj, 6)
+    # gravity trick: A_base = [0; -g]
+    A_base = jnp.concatenate([jnp.zeros((N, 3), f32), -gravity], axis=-1)
+    anc_j = jnp.asarray(model.anc_dof_body[6:, :], dtype=f32)  # (nj, nb)
+    A = A_base[:, None, :] + jnp.einsum("jb,njk->nbk", anc_j, C)
     IV = jnp.einsum("nbij,nbj->nbi", I_sp, V_body)
     F = jnp.einsum("nbij,nbj->nbi", I_sp, A) + _force_cross(V_body, IV)
     anc = jnp.asarray(model.anc_dof_body, dtype=f32)
