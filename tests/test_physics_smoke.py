@@ -46,10 +46,10 @@ def test_fk_feet_below_base(setup):
 def test_mass_matrix_spd(setup):
     model, ddp, state = setup
     frames = eng.forward_kinematics(model, state)
-    S = eng.joint_twists(model, frames, state.base_pos)
+    Sw, Sv = eng.joint_twists(model, frames, state.base_pos)
     dyn = eng.identity_dynamics_params(N)
-    I_sp = eng.spatial_inertia(model, frames, state.base_pos, dyn)
-    M = np.asarray(eng.mass_matrix(model, S, I_sp))
+    blk = eng.inertia_blocks(model, frames, state.base_pos, dyn)
+    M = np.asarray(eng.mass_matrix(model, Sw, Sv, blk))
     assert M.shape == (N, 18, 18)
     np.testing.assert_allclose(M, np.swapaxes(M, -1, -2), atol=1e-4)
     eigs = np.linalg.eigvalsh(M[0])
@@ -57,6 +57,36 @@ def test_mass_matrix_spd(setup):
     # translational block = total mass * I3
     np.testing.assert_allclose(M[0, 3:6, 3:6], model.mass.sum() * np.eye(3),
                                atol=1e-3)
+
+
+def test_mass_matrix_against_dense_oracle(setup):
+    """Cross-validate the block CRBA against a brute-force dense 6x6
+    spatial-inertia implementation (the identity
+    M_ij = sum_b anc_i anc_j S_i^T I_b S_j)."""
+    model, ddp, state = setup
+    # use a non-trivial pose
+    import jax
+    q = state.q + 0.2 * jax.random.normal(jax.random.PRNGKey(3), state.q.shape)
+    quat = jnp.tile(jnp.array([0.2, -0.1, 0.3, 0.95]), (N, 1))
+    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    st = state._replace(q=q, base_quat=quat)
+    frames = eng.forward_kinematics(model, st)
+    dyn = eng.identity_dynamics_params(N)
+    Sw, Sv = eng.joint_twists(model, frames, st.base_pos)
+    blk = eng.inertia_blocks(model, frames, st.base_pos, dyn)
+    M = np.asarray(eng.mass_matrix(model, Sw, Sv, blk))
+
+    # dense oracle
+    A, B, m = np.asarray(blk.A), np.asarray(blk.B), np.asarray(blk.m)
+    S6 = np.concatenate([np.asarray(Sw), np.asarray(Sv)], axis=-1)  # (N,nv,6)
+    I6 = np.zeros((N, model.nb, 6, 6))
+    I6[..., :3, :3] = A
+    I6[..., :3, 3:] = B
+    I6[..., 3:, :3] = np.swapaxes(B, -1, -2)
+    I6[..., 3:, 3:] = m[..., None, None] * np.eye(3)
+    anc = model.anc_dof_body
+    M_ref = np.einsum("ib,jb,nik,nbkl,njl->nij", anc, anc, S6, I6, S6)
+    np.testing.assert_allclose(M, M_ref, rtol=1e-4, atol=1e-4)
 
 
 def test_pd_stand(setup):

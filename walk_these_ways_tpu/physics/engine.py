@@ -185,53 +185,40 @@ def forward_kinematics(model: RobotModel, state: PhysicsState) -> BodyFrames:
 # ---------------------------------------------------------------------------
 
 
-def _motion_cross(V, U):
-    """V x^ U for motion vectors; V,U (..., 6)."""
-    w, v = V[..., :3], V[..., 3:]
-    uw, uv = U[..., :3], U[..., 3:]
-    return jnp.concatenate(
-        [jnp.cross(w, uw), jnp.cross(w, uv) + jnp.cross(v, uw)], axis=-1
-    )
+class InertiaBlocks(NamedTuple):
+    """Spatial inertia about the reference point in 3x3 block form:
+    I_b = [[A_b, B_b], [B_b^T, m_b I]].  Avoids ever materializing 6x6
+    blocks — TPU pays dearly for small-minor-dim concatenates/relayouts."""
 
-
-def _force_cross(V, F):
-    """V x^* F for force vectors (torque-first)."""
-    w, v = V[..., :3], V[..., 3:]
-    t, f = F[..., :3], F[..., 3:]
-    return jnp.concatenate(
-        [jnp.cross(w, t) + jnp.cross(v, f), jnp.cross(w, f)], axis=-1
-    )
+    A: jnp.ndarray   # (N, nb, 3, 3)
+    B: jnp.ndarray   # (N, nb, 3, 3)  = m * skew(com - ref)
+    m: jnp.ndarray   # (N, nb)
 
 
 def joint_twists(model: RobotModel, frames: BodyFrames, ref: jnp.ndarray):
-    """All nv twists about per-env reference point `ref` (N,3). Returns (N, nv, 6).
+    """All nv twists about per-env reference point `ref`, split into angular
+    and linear parts.  Returns (Sw, Sv), each (N, nv, 3).
 
-    Row layout matches the generalized velocity [ang(3), lin(3), qd(nj)]:
-    rows 0..2 are root rotations about ref, rows 3..5 root translations.
+    Row layout matches the generalized velocity [ang(3), lin(3), qd(nj)].
     """
     N = ref.shape[0]
     f32 = ref.dtype
-    eye = jnp.eye(3, dtype=f32)
-    # root rotations about ref: [e_k; 0]
-    S_rot = jnp.concatenate([eye, jnp.zeros((3, 3), f32)], axis=-1)
-    S_rot = jnp.tile(S_rot[None], (N, 1, 1))
-    # root translations: [0; e_k]
-    S_trans = jnp.concatenate([jnp.zeros((3, 3), f32), eye], axis=-1)  # (3, 6)
-    S_trans = jnp.tile(S_trans[None], (N, 1, 1))
-    # joints: [a; (o - ref) x a]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=f32), (N, 3, 3))
+    zero = jnp.zeros((N, 3, 3), f32)
     a = frames.joint_axis_w
     lin = jnp.cross(frames.joint_anchor_w - ref[:, None, :], a)
-    S_j = jnp.concatenate([a, lin], axis=-1)
-    return jnp.concatenate([S_rot, S_trans, S_j], axis=1)
+    Sw = jnp.concatenate([eye, zero, a], axis=1)
+    Sv = jnp.concatenate([zero, eye, lin], axis=1)
+    return Sw, Sv
 
 
-def spatial_inertia(model: RobotModel, frames: BodyFrames, ref: jnp.ndarray,
-                    dyn: DynamicsParams) -> jnp.ndarray:
-    """Per-body 6x6 spatial inertia about ref. Returns (N, nb, 6, 6)."""
+def inertia_blocks(model: RobotModel, frames: BodyFrames, ref: jnp.ndarray,
+                   dyn: DynamicsParams) -> InertiaBlocks:
+    """Per-body spatial inertia blocks about ref."""
     f32 = ref.dtype
     mass = jnp.asarray(model.mass, dtype=f32)[None, :]            # (1, nb)
     # base payload + com displacement domain randomization
-    dm = jnp.zeros_like(mass) + jnp.pad(dyn.payload[:, None], ((0, 0), (0, model.nb - 1)))
+    dm = jnp.pad(dyn.payload[:, None], ((0, 0), (0, model.nb - 1)))
     m = mass + dm                                                  # (N, nb)
     com = frames.com
     base_com_shift = jnp.einsum("nij,nj->ni", frames.R[:, 0], dyn.com_displacement)
@@ -243,59 +230,110 @@ def spatial_inertia(model: RobotModel, frames: BodyFrames, ref: jnp.ndarray,
     r = com - ref[:, None, :]
     rx = qops.skew(r)                                              # (N, nb, 3, 3)
     mrx = m[..., None, None] * rx
-    top_left = I_w - mrx @ rx
+    A = I_w - mrx @ rx
+    return InertiaBlocks(A=A, B=mrx, m=m)
+
+
+def _joint_anc_pair(model: RobotModel) -> np.ndarray:
+    """(nj, nj) static mask: joint i is an ancestor of (or equals) joint j."""
+    L = np.zeros((model.nj, model.nj), dtype=np.float32)
+    for i in range(model.nj):
+        for j in range(model.nj):
+            if model.subtree[model.joint_body[i], model.joint_body[j]]:
+                L[i, j] = 1.0
+    return L
+
+
+def mass_matrix(model: RobotModel, Sw: jnp.ndarray, Sv: jnp.ndarray,
+                blk: InertiaBlocks) -> jnp.ndarray:
+    """CRBA in 3x3 block form. (N, nv, nv).
+
+    Key identities (about the shared reference point):
+    - the root 6x6 block is the whole-robot composite [[sum A, sum B],
+      [sum B^T, sum m * I]] — no contraction at all;
+    - for any pair where j is the deeper dof, M[i, j] = Sw_i . a_j +
+      Sv_i . b_j with a_j = Ac_j w_j + Bc_j v_j and b_j = Bc_j^T w_j +
+      mc_j v_j, where (Ac, Bc, mc) are the composite blocks of joint j's
+      subtree.  One (N, nv, nj) contraction covers the root-joint block
+      (root twist rows are unit vectors) and the joint-joint triangle.
+    """
+    f32 = Sw.dtype
+    sub_j = jnp.asarray(model.anc_dof_body[6:, :], dtype=f32)   # (nj, nb)
+    Ac = jnp.einsum("jb,nbxy->njxy", sub_j, blk.A)
+    Bc = jnp.einsum("jb,nbxy->njxy", sub_j, blk.B)
+    mc = jnp.einsum("jb,nb->nj", sub_j, blk.m)
+    wj = Sw[:, 6:, :]
+    vj = Sv[:, 6:, :]
+    a = (jnp.einsum("njxy,njy->njx", Ac, wj)
+         + jnp.einsum("njxy,njy->njx", Bc, vj))                  # (N, nj, 3)
+    b = (jnp.einsum("njyx,njy->njx", Bc, wj) + mc[..., None] * vj)
+    E = (jnp.einsum("nix,njx->nij", Sw, a)
+         + jnp.einsum("nix,njx->nij", Sv, b))                    # (N, nv, nj)
+
+    A_tot = jnp.sum(blk.A, axis=1)
+    B_tot = jnp.sum(blk.B, axis=1)
+    m_tot = jnp.sum(blk.m, axis=1)
     eye = jnp.eye(3, dtype=f32)
-    bot_right = m[..., None, None] * eye
-    top = jnp.concatenate([top_left, mrx], axis=-1)
-    bot = jnp.concatenate([jnp.swapaxes(mrx, -1, -2), bot_right], axis=-1)
+    top_left = jnp.concatenate([
+        jnp.concatenate([A_tot, B_tot], axis=-1),
+        jnp.concatenate([jnp.swapaxes(B_tot, -1, -2),
+                         m_tot[:, None, None] * eye], axis=-1),
+    ], axis=-2)                                                   # (N, 6, 6)
+
+    top_right = E[:, :6, :]                                       # (N, 6, nj)
+    L = jnp.asarray(_joint_anc_pair(model), dtype=f32)            # (nj, nj)
+    Ej = E[:, 6:, :]
+    LE = L[None] * Ej
+    diag = jnp.einsum("njj->nj", Ej)
+    lower_right = LE + jnp.swapaxes(LE, -1, -2) \
+        - diag[:, :, None] * jnp.eye(model.nj, dtype=f32)
+    top = jnp.concatenate([top_left, top_right], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(top_right, -1, -2), lower_right],
+                          axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def mass_matrix(model: RobotModel, S: jnp.ndarray, I_sp: jnp.ndarray) -> jnp.ndarray:
-    """CRBA as a pure masked contraction (no gathers — TPU lowers constant-
-    index gathers to pathological scatter loops).  Uses the identity
+def bias_forces(model: RobotModel, Sw, Sv, Vw, Vv, blk: InertiaBlocks,
+                gen_vel: jnp.ndarray, gravity: jnp.ndarray) -> jnp.ndarray:
+    """RNEA with qdd=0 (Coriolis + gravity) in block form. (N, nv).
 
-        M[i, j] = sum_b anc[i, b] * anc[j, b] * S_i^T I_b S_j
-
-    — bodies below both dofs are exactly the composite subtree of the deeper
-    dof, and disconnected dof pairs contribute nothing, so the reference's
-    pair tables (crba_body/crba_conn) are implied.  (N, nv, nv)."""
-    anc = jnp.asarray(model.anc_dof_body, dtype=S.dtype)  # (nv, nb)
-    # masked per-body dof twists: X[n, b, i, k] = anc[i, b] S[n, i, k]
-    IS = jnp.einsum("ib,nik,nbkl->nbil", anc, S, I_sp)    # (N, nb, nv, 6)
-    M = jnp.einsum("nbil,jb,njl->nij", IS, anc, S)
-    return M
-
-
-def bias_forces(model: RobotModel, S: jnp.ndarray, I_sp: jnp.ndarray,
-                V_body: jnp.ndarray, gen_vel: jnp.ndarray,
-                gravity: jnp.ndarray) -> jnp.ndarray:
-    """RNEA with qdd=0 (Coriolis + gravity), world-spatial form. (N, nv).
-
-    The usual parent->child acceleration recursion expands to a masked sum —
-    A_b = A_base + sum_{j in path(b)} (V_child(j) x^ S_j) qd_j — so the whole
-    thing is three batched contractions, no sequential chain (TPU wants few
-    big ops, not a 12-deep dependency chain of tiny ones).
+    The parent->child acceleration recursion expands to a masked sum —
+    A_b = A_base + sum_{j in path(b)} (V_child(j) x^ S_j) qd_j — three
+    batched contractions, no sequential chain.
     """
     N = gen_vel.shape[0]
     f32 = gen_vel.dtype
+    qd = gen_vel[:, 6:, None]
     # per-joint velocity-product terms (joint j moves body j+1 by construction)
-    Vj = V_body[:, 1:, :]                                 # (N, nj, 6)
-    Sj = S[:, 6:, :]
-    C = _motion_cross(Vj, Sj) * gen_vel[:, 6:, None]      # (N, nj, 6)
-    # gravity trick: A_base = [0; -g]
-    A_base = jnp.concatenate([jnp.zeros((N, 3), f32), -gravity], axis=-1)
+    Vwj, Vvj = Vw[:, 1:, :], Vv[:, 1:, :]
+    Swj, Svj = Sw[:, 6:, :], Sv[:, 6:, :]
+    Cw = jnp.cross(Vwj, Swj) * qd
+    Cv = (jnp.cross(Vwj, Svj) + jnp.cross(Vvj, Swj)) * qd
     anc_j = jnp.asarray(model.anc_dof_body[6:, :], dtype=f32)  # (nj, nb)
-    A = A_base[:, None, :] + jnp.einsum("jb,njk->nbk", anc_j, C)
-    IV = jnp.einsum("nbij,nbj->nbi", I_sp, V_body)
-    F = jnp.einsum("nbij,nbj->nbi", I_sp, A) + _force_cross(V_body, IV)
+    aw = jnp.einsum("jb,njx->nbx", anc_j, Cw)
+    av = -gravity[:, None, :] + jnp.einsum("jb,njx->nbx", anc_j, Cv)
+
+    def I_apply(w, v):
+        return (jnp.einsum("nbxy,nby->nbx", blk.A, w)
+                + jnp.einsum("nbxy,nby->nbx", blk.B, v),
+                jnp.einsum("nbyx,nby->nbx", blk.B, w)
+                + blk.m[..., None] * v)
+
+    IVw, IVv = I_apply(Vw, Vv)
+    IAw, IAv = I_apply(aw, av)
+    Fw = IAw + jnp.cross(Vw, IVw) + jnp.cross(Vv, IVv)
+    Fv = IAv + jnp.cross(Vw, IVv)
     anc = jnp.asarray(model.anc_dof_body, dtype=f32)
-    return jnp.einsum("db,ndk,nbk->nd", anc, S, F)
+    return (jnp.einsum("db,ndx,nbx->nd", anc, Sw, Fw)
+            + jnp.einsum("db,ndx,nbx->nd", anc, Sv, Fv))
 
 
-def body_twists(model: RobotModel, S: jnp.ndarray, gen_vel: jnp.ndarray) -> jnp.ndarray:
-    anc = jnp.asarray(model.anc_dof_body, dtype=S.dtype)
-    return jnp.einsum("db,ndk,nd->nbk", anc, S, gen_vel)
+def body_twists(model: RobotModel, Sw, Sv, gen_vel: jnp.ndarray):
+    """Per-body twists (Vw, Vv), each (N, nb, 3)."""
+    anc = jnp.asarray(model.anc_dof_body, dtype=Sw.dtype)
+    Vw = jnp.einsum("db,ndx,nd->nbx", anc, Sw, gen_vel)
+    Vv = jnp.einsum("db,ndx,nd->nbx", anc, Sv, gen_vel)
+    return Vw, Vv
 
 
 def _mass_matrix_inverse(model: RobotModel, M: jnp.ndarray) -> jnp.ndarray:
@@ -357,7 +395,7 @@ def flat_terrain() -> Terrain:
                    horizontal_scale=1.0, origin_xy=(-1e4, -1e4))
 
 
-def _contact_solve(model: RobotModel, params: SimParams, Minv, S, frames,
+def _contact_solve(model: RobotModel, params: SimParams, Minv, Sw, Sv, frames,
                    ref, gen_vel, terrain: Terrain, dyn: DynamicsParams,
                    dt: float):
     """Velocity-level unilateral contact solve.
@@ -384,11 +422,11 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, S, frames,
     anc_p = jnp.asarray(
         model.anc_dof_body[:, model.cp_body], dtype=f32)  # (nv, P) static
     r = p_cp - ref[:, None, :]                           # (N, P, 3)
-    Sw, Sv = S[..., :3], S[..., 3:]                      # (N, nv, 3)
+    nv = Sw.shape[1]
     # v_point = Sv + Sw x r  for each dof, masked by ancestry
     Jl = Sv[:, None, :, :] + jnp.cross(
-        jnp.broadcast_to(Sw[:, None, :, :], (N, P, S.shape[1], 3)),
-        jnp.broadcast_to(r[:, :, None, :], (N, P, S.shape[1], 3)),
+        jnp.broadcast_to(Sw[:, None, :, :], (N, P, nv, 3)),
+        jnp.broadcast_to(r[:, :, None, :], (N, P, nv, 3)),
     )
     J = Jl * anc_p.T[None, :, None, :].transpose(0, 1, 3, 2)  # mask (P, nv)
     J = jnp.swapaxes(J, 2, 3)                            # (N, P, 3, nv)
@@ -460,22 +498,22 @@ def physics_substep(
 
     frames = forward_kinematics(model, state)
     ref = state.base_pos
-    S = joint_twists(model, frames, ref)
-    I_sp = spatial_inertia(model, frames, ref, dyn)
+    Sw, Sv = joint_twists(model, frames, ref)
+    blk = inertia_blocks(model, frames, ref, dyn)
     gen_vel = jnp.concatenate(
         [state.base_ang_vel, state.base_lin_vel, state.qd], axis=-1
     )
-    # NOTE ordering: S rows are [rot(3), trans(3), joints] -> gen_vel is
+    # NOTE ordering: twist rows are [rot(3), trans(3), joints] -> gen_vel is
     # [ang, lin, qd] internally; the public state keeps lin/ang split.
-    V_body = body_twists(model, S, gen_vel)
-    M = mass_matrix(model, S, I_sp)
+    Vw, Vv = body_twists(model, Sw, Sv, gen_vel)
+    M = mass_matrix(model, Sw, Sv, blk)
     if params.armature:
         arm = jnp.concatenate(
             [jnp.zeros(6, f32), jnp.full((model.nj,), params.armature, f32)]
         )
         M = M + jnp.diag(arm)[None]
     M = M + 1e-7 * jnp.eye(model.nv, dtype=f32)[None]
-    bias = bias_forces(model, S, I_sp, V_body, gen_vel, dyn.gravity)
+    bias = bias_forces(model, Sw, Sv, Vw, Vv, blk, gen_vel, dyn.gravity)
 
     # joint limit one-sided springs + applied motor torques
     lo = jnp.asarray(model.dof_lower, dtype=f32)
@@ -499,7 +537,8 @@ def physics_substep(
     # contact impulses on the post-free velocity (semi-implicit)
     if params.contact_enabled:
         dv, cp_forces, p_cp = _contact_solve(
-            model, params, Minv, S, frames, ref, gen_vel_free, terrain, dyn, dt
+            model, params, Minv, Sw, Sv, frames, ref, gen_vel_free, terrain,
+            dyn, dt
         )
         gen_vel_new = gen_vel_free + dv
     else:
@@ -552,10 +591,10 @@ def foot_positions_velocities(model: RobotModel, state: PhysicsState):
     gen_vel = jnp.concatenate(
         [state.base_ang_vel, state.base_lin_vel, state.qd], axis=-1
     )
-    S = joint_twists(model, frames, state.base_pos)
-    V = body_twists(model, S, gen_vel)         # (N, nb, 6) about base ref
-    Vb = jnp.einsum("fb,nbk->nfk", foot_onehot, V)
-    w, v = Vb[..., :3], Vb[..., 3:]
+    Sw, Sv = joint_twists(model, frames, state.base_pos)
+    Vw, Vv = body_twists(model, Sw, Sv, gen_vel)   # about base ref
+    w = jnp.einsum("fb,nbk->nfk", foot_onehot, Vw)
+    v = jnp.einsum("fb,nbk->nfk", foot_onehot, Vv)
     r = p_foot - state.base_pos[:, None, :]
     v_foot = v + jnp.cross(w, r)
     return p_foot, v_foot
