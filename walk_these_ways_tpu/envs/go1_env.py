@@ -206,6 +206,19 @@ class LeggedRobotEnv:
         else:
             self.actuator_params = None
 
+        # height measurement points (legged_robot.py:1756-1770)
+        if cfg.terrain.measure_heights:
+            gx, gy = np.meshgrid(np.asarray(cfg.terrain.measured_points_x),
+                                 np.asarray(cfg.terrain.measured_points_y),
+                                 indexing="ij")
+            self.height_points = jnp.asarray(
+                np.stack([gx.reshape(-1), gy.reshape(-1),
+                          np.zeros(gx.size)], axis=-1), dtype=jnp.float32)
+            self.num_height_points = gx.size
+        else:
+            self.height_points = None
+            self.num_height_points = 0
+
         # derived intervals (legged_robot.py:1716-1732)
         self.resample_interval = int(cfg.commands.resampling_time / self.dt)
         self.rand_interval = int(np.ceil(cfg.domain_rand.rand_interval_s / self.dt))
@@ -631,7 +644,7 @@ class LeggedRobotEnv:
         time_out = episode_length > self.max_episode_length
         reset = reset | time_out
         if cfg.rewards.use_terminal_body_height:
-            body_height = state.phys.base_pos[:, 2]  # measured_heights = 0
+            body_height = state.phys.base_pos[:, 2] - self._measured_ground(state)
             reset = reset | (body_height < cfg.rewards.terminal_body_height)
 
         # 11. rewards (legged_robot.py:263-300)
@@ -705,6 +718,18 @@ class LeggedRobotEnv:
             ep_sums_done=ep_sums_done, ep_count_done=ep_count_done,
             ep_len_done=ep_len_done, torques=state.torques)
         return state, obs_dict, rew_total, reset, info
+
+    def _measured_ground(self, state: EnvState) -> jnp.ndarray:
+        """Mean measured terrain height under each robot (N,), or 0 on flat
+        ground (reference _get_heights, legged_robot.py:1772-1806; the grid
+        of sample points is yaw-rotated around the base)."""
+        if not self.cfg.terrain.measure_heights or self.height_points is None:
+            return jnp.zeros(self.num_envs)
+        pts = qops.quat_apply_yaw(
+            state.phys.base_quat[:, None, :],
+            self.height_points[None, :, :]) + state.phys.base_pos[:, None, :]
+        h, _ = self.terrain.lookup(pts[..., 0], pts[..., 1])
+        return jnp.mean(h, axis=-1)
 
     # -- reward assembly ---------------------------------------------------
     def _compute_reward(self, ctx, state, base_lin_vel_b, base_ang_vel_b):

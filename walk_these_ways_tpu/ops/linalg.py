@@ -23,6 +23,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import jax
+
+from functools import partial as _partial
+_einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+_matmul = _partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
 
 def inv3(m: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
     """Batched 3x3 inverse by adjugate. m: (..., 3, 3)."""
@@ -57,11 +63,11 @@ def inv_spd6(m: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     R = m[..., 3:, 3:]
     Pinv = inv3(P, eps)
     # Schur complement of P
-    S = R - jnp.einsum("...ji,...jk,...kl->...il", Q, Pinv, Q)
+    S = R - _einsum("...ji,...jk,...kl->...il", Q, Pinv, Q)
     Sinv = inv3(S, eps)
-    PiQ = Pinv @ Q                                  # (..., 3, 3)
-    TL = Pinv + jnp.einsum("...ij,...jk,...lk->...il", PiQ, Sinv, PiQ)
-    TR = -PiQ @ Sinv
+    PiQ = _matmul(Pinv, Q)                                  # (..., 3, 3)
+    TL = Pinv + _einsum("...ij,...jk,...lk->...il", PiQ, Sinv, PiQ)
+    TR = -_matmul(PiQ, Sinv)
     BL = jnp.swapaxes(TR, -1, -2)
     top = jnp.concatenate([TL, TR], axis=-1)
     bot = jnp.concatenate([BL, Sinv], axis=-1)
@@ -85,20 +91,20 @@ def mass_matrix_inverse(M: jnp.ndarray, num_chains: int = 4,
     eye_c = jnp.eye(C, dtype=M.dtype)
     # chain-diagonal extraction / block-diag assembly as eye-mask einsums
     # (advanced-index gathers/scatters lower terribly on TPU)
-    Dblocks = jnp.einsum("ncidj,cd->ncij", Dview, eye_c)  # (N, C, L, L)
+    Dblocks = _einsum("ncidj,cd->ncij", Dview, eye_c)  # (N, C, L, L)
     if L == 3:
         Dblocks_inv = inv3(Dblocks, eps)
     else:
         Dblocks_inv = jnp.linalg.inv(
             Dblocks + eps * jnp.eye(L, dtype=M.dtype))
-    Dinv = jnp.einsum("ncij,cd->ncidj", Dblocks_inv, eye_c).reshape(N, nj, nj)
+    Dinv = _einsum("ncij,cd->ncidj", Dblocks_inv, eye_c).reshape(N, nj, nj)
 
-    BDinv = B @ Dinv                                # (N, 6, nj)
-    S = A - jnp.einsum("nij,nkj->nik", BDinv, B)    # (N, 6, 6)
+    BDinv = _matmul(B, Dinv)                                # (N, 6, nj)
+    S = A - _einsum("nij,nkj->nik", BDinv, B)    # (N, 6, 6)
     Sinv = inv_spd6(S, eps)
-    TR = -Sinv @ BDinv                              # (N, 6, nj)
+    TR = -_matmul(Sinv, BDinv)                              # (N, 6, nj)
     BL = jnp.swapaxes(TR, -1, -2)
-    BR = Dinv + jnp.einsum("nji,njk,nkl->nil", BDinv, Sinv, BDinv)
+    BR = Dinv + _einsum("nji,njk,nkl->nil", BDinv, Sinv, BDinv)
     top = jnp.concatenate([Sinv, TR], axis=-1)
     bot = jnp.concatenate([BL, BR], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)

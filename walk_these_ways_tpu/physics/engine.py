@@ -41,6 +41,14 @@ from ..ops import linalg as la
 from ..ops import quat as qops
 
 
+
+# All physics contractions run at HIGHEST matmul precision: TPU's default
+# bf16 MXU passes are fine for neural nets but destroy the mass matrix /
+# effective-mass conditioning (observed as instant NaNs in training).
+from functools import partial as _partial
+_einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
 @dataclasses.dataclass(frozen=True)
 class SimParams:
     """Static solver parameters (jit-constant)."""
@@ -157,9 +165,9 @@ def forward_kinematics(model: RobotModel, state: PhysicsState) -> BodyFrames:
         c = jnp.cos(ang)[..., None, None]
         rot = (jnp.eye(3, dtype=f32) + s * K[None]
                + (1.0 - c) * (K @ K)[None])                        # (N, L, 3, 3)
-        Rj = Rp @ rot
-        pj = pp + jnp.einsum("nlij,lj->nli", Rp, anchors)
-        aw = jnp.einsum("nlij,lj->nli", Rp, axes)
+        Rj = jnp.matmul(Rp, rot, precision=jax.lax.Precision.HIGHEST)
+        pj = pp + _einsum("nlij,lj->nli", Rp, anchors)
+        aw = _einsum("nlij,lj->nli", Rp, axes)
         for k, j in enumerate(js):
             b = int(model.joint_body[j])
             Rs[b] = Rj[:, k]
@@ -168,7 +176,7 @@ def forward_kinematics(model: RobotModel, state: PhysicsState) -> BodyFrames:
     R = jnp.stack(Rs, axis=1)
     p = jnp.stack(ps, axis=1)
     com_l = jnp.asarray(model.com, dtype=f32)
-    com = p + jnp.einsum("nbij,bj->nbi", R, com_l)
+    com = p + _einsum("nbij,bj->nbi", R, com_l)
     anchors_w = jnp.stack([ps[int(model.joint_body[j])]
                            for j in range(model.nj)], axis=1)
     return BodyFrames(
@@ -221,12 +229,12 @@ def inertia_blocks(model: RobotModel, frames: BodyFrames, ref: jnp.ndarray,
     dm = jnp.pad(dyn.payload[:, None], ((0, 0), (0, model.nb - 1)))
     m = mass + dm                                                  # (N, nb)
     com = frames.com
-    base_com_shift = jnp.einsum("nij,nj->ni", frames.R[:, 0], dyn.com_displacement)
+    base_com_shift = _einsum("nij,nj->ni", frames.R[:, 0], dyn.com_displacement)
     com = com.at[:, 0, :].add(base_com_shift)
     # rotational inertia to world; base inertia scaled with payload mass ratio
     I_l = jnp.asarray(model.inertia, dtype=f32)[None]              # (1, nb, 3, 3)
     scale = jnp.ones_like(m).at[:, 0].set(m[:, 0] / mass[0, 0])
-    I_w = jnp.einsum("nbij,nbjk,nblk->nbil", frames.R, I_l * scale[..., None, None], frames.R)
+    I_w = _einsum("nbij,nbjk,nblk->nbil", frames.R, I_l * scale[..., None, None], frames.R)
     r = com - ref[:, None, :]
     rx = qops.skew(r)                                              # (N, nb, 3, 3)
     mrx = m[..., None, None] * rx
@@ -259,16 +267,16 @@ def mass_matrix(model: RobotModel, Sw: jnp.ndarray, Sv: jnp.ndarray,
     """
     f32 = Sw.dtype
     sub_j = jnp.asarray(model.anc_dof_body[6:, :], dtype=f32)   # (nj, nb)
-    Ac = jnp.einsum("jb,nbxy->njxy", sub_j, blk.A)
-    Bc = jnp.einsum("jb,nbxy->njxy", sub_j, blk.B)
-    mc = jnp.einsum("jb,nb->nj", sub_j, blk.m)
+    Ac = _einsum("jb,nbxy->njxy", sub_j, blk.A)
+    Bc = _einsum("jb,nbxy->njxy", sub_j, blk.B)
+    mc = _einsum("jb,nb->nj", sub_j, blk.m)
     wj = Sw[:, 6:, :]
     vj = Sv[:, 6:, :]
-    a = (jnp.einsum("njxy,njy->njx", Ac, wj)
-         + jnp.einsum("njxy,njy->njx", Bc, vj))                  # (N, nj, 3)
-    b = (jnp.einsum("njyx,njy->njx", Bc, wj) + mc[..., None] * vj)
-    E = (jnp.einsum("nix,njx->nij", Sw, a)
-         + jnp.einsum("nix,njx->nij", Sv, b))                    # (N, nv, nj)
+    a = (_einsum("njxy,njy->njx", Ac, wj)
+         + _einsum("njxy,njy->njx", Bc, vj))                  # (N, nj, 3)
+    b = (_einsum("njyx,njy->njx", Bc, wj) + mc[..., None] * vj)
+    E = (_einsum("nix,njx->nij", Sw, a)
+         + _einsum("nix,njx->nij", Sv, b))                    # (N, nv, nj)
 
     A_tot = jnp.sum(blk.A, axis=1)
     B_tot = jnp.sum(blk.B, axis=1)
@@ -284,7 +292,7 @@ def mass_matrix(model: RobotModel, Sw: jnp.ndarray, Sv: jnp.ndarray,
     L = jnp.asarray(_joint_anc_pair(model), dtype=f32)            # (nj, nj)
     Ej = E[:, 6:, :]
     LE = L[None] * Ej
-    diag = jnp.einsum("njj->nj", Ej)
+    diag = _einsum("njj->nj", Ej)
     lower_right = LE + jnp.swapaxes(LE, -1, -2) \
         - diag[:, :, None] * jnp.eye(model.nj, dtype=f32)
     top = jnp.concatenate([top_left, top_right], axis=-1)
@@ -310,13 +318,13 @@ def bias_forces(model: RobotModel, Sw, Sv, Vw, Vv, blk: InertiaBlocks,
     Cw = jnp.cross(Vwj, Swj) * qd
     Cv = (jnp.cross(Vwj, Svj) + jnp.cross(Vvj, Swj)) * qd
     anc_j = jnp.asarray(model.anc_dof_body[6:, :], dtype=f32)  # (nj, nb)
-    aw = jnp.einsum("jb,njx->nbx", anc_j, Cw)
-    av = -gravity[:, None, :] + jnp.einsum("jb,njx->nbx", anc_j, Cv)
+    aw = _einsum("jb,njx->nbx", anc_j, Cw)
+    av = -gravity[:, None, :] + _einsum("jb,njx->nbx", anc_j, Cv)
 
     def I_apply(w, v):
-        return (jnp.einsum("nbxy,nby->nbx", blk.A, w)
-                + jnp.einsum("nbxy,nby->nbx", blk.B, v),
-                jnp.einsum("nbyx,nby->nbx", blk.B, w)
+        return (_einsum("nbxy,nby->nbx", blk.A, w)
+                + _einsum("nbxy,nby->nbx", blk.B, v),
+                _einsum("nbyx,nby->nbx", blk.B, w)
                 + blk.m[..., None] * v)
 
     IVw, IVv = I_apply(Vw, Vv)
@@ -324,15 +332,15 @@ def bias_forces(model: RobotModel, Sw, Sv, Vw, Vv, blk: InertiaBlocks,
     Fw = IAw + jnp.cross(Vw, IVw) + jnp.cross(Vv, IVv)
     Fv = IAv + jnp.cross(Vw, IVv)
     anc = jnp.asarray(model.anc_dof_body, dtype=f32)
-    return (jnp.einsum("db,ndx,nbx->nd", anc, Sw, Fw)
-            + jnp.einsum("db,ndx,nbx->nd", anc, Sv, Fv))
+    return (_einsum("db,ndx,nbx->nd", anc, Sw, Fw)
+            + _einsum("db,ndx,nbx->nd", anc, Sv, Fv))
 
 
 def body_twists(model: RobotModel, Sw, Sv, gen_vel: jnp.ndarray):
     """Per-body twists (Vw, Vv), each (N, nb, 3)."""
     anc = jnp.asarray(model.anc_dof_body, dtype=Sw.dtype)
-    Vw = jnp.einsum("db,ndx,nd->nbx", anc, Sw, gen_vel)
-    Vv = jnp.einsum("db,ndx,nd->nbx", anc, Sv, gen_vel)
+    Vw = _einsum("db,ndx,nd->nbx", anc, Sw, gen_vel)
+    Vv = _einsum("db,ndx,nd->nbx", anc, Sv, gen_vel)
     return Vw, Vv
 
 
@@ -410,9 +418,9 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, Sw, Sv, frames,
     cp_onehot = jnp.asarray(
         np.eye(model.nb, dtype=np.float32)[model.cp_body], dtype=f32)  # (P, nb)
     cp_off = jnp.asarray(model.cp_offset, dtype=f32)
-    Rb = jnp.einsum("pb,nbij->npij", cp_onehot, frames.R)  # (N, P, 3, 3)
-    pb = jnp.einsum("pb,nbi->npi", cp_onehot, frames.p)
-    p_cp = pb + jnp.einsum("npij,pj->npi", Rb, cp_off)   # (N, P, 3)
+    Rb = _einsum("pb,nbij->npij", cp_onehot, frames.R)  # (N, P, 3, 3)
+    pb = _einsum("pb,nbi->npi", cp_onehot, frames.p)
+    p_cp = pb + _einsum("npij,pj->npi", Rb, cp_off)   # (N, P, 3)
     radius = jnp.asarray(model.cp_radius, dtype=f32)
     h, n_srf = terrain.lookup(p_cp[..., 0], p_cp[..., 1])
     phi = h + radius[None, :] - p_cp[..., 2]             # penetration depth
@@ -432,17 +440,17 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, Sw, Sv, frames,
     J = jnp.swapaxes(J, 2, 3)                            # (N, P, 3, nv)
 
     # M^-1 J^T via the precomputed closed-form inverse (ops/linalg.py)
-    MinvJT_p = jnp.einsum("nvw,npiw->npvi", Minv, J)     # (N, P, nv, 3)
+    MinvJT_p = _einsum("nvw,npiw->npvi", Minv, J)     # (N, P, nv, 3)
     # per-point effective-mass inverse blocks  W = J M^-1 J^T (3x3)
-    W = jnp.einsum("npiv,npvj->npij", J, MinvJT_p)
+    W = _einsum("npiv,npvj->npij", J, MinvJT_p)
     W = W + 1e-6 * jnp.eye(3, dtype=f32)
     Lam = la.inv3(W)
 
     mu = 0.5 * (dyn.friction[:, None] + 1.0)             # average combine w/ ground
     e = dyn.restitution[:, None]
 
-    v0 = jnp.einsum("npiv,nv->npi", J, gen_vel)
-    vn0 = jnp.einsum("npi,npi->np", v0, n_srf)
+    v0 = _einsum("npiv,nv->npi", J, gen_vel)
+    vn0 = _einsum("npi,npi->np", v0, n_srf)
     bounce = jnp.where(vn0 < -params.bounce_threshold_velocity, -e * vn0, 0.0)
     bias = params.contact_baumgarte / dt * jnp.maximum(phi - params.contact_slop, 0.0)
     target_n = jnp.maximum(bounce, bias)
@@ -452,14 +460,14 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, Sw, Sv, frames,
     # PGS in dual space: iterate impulse updates with exact block masses
     def iter_body(_, carry):
         lam, gv = carry
-        v = jnp.einsum("npiv,nv->npi", J, gv)
-        vn = jnp.einsum("npi,npi->np", v, n_srf)
+        v = _einsum("npiv,nv->npi", J, gv)
+        vn = _einsum("npi,npi->np", v, n_srf)
         # desired velocity: normal -> target_n, tangential -> 0
         dv_des = target_n[..., None] * n_srf - v
-        dlam = params.relaxation * jnp.einsum("npij,npj->npi", Lam, dv_des)
+        dlam = params.relaxation * _einsum("npij,npj->npi", Lam, dv_des)
         new_lam = lam + dlam
         # project: normal >= 0, tangential inside friction cone
-        ln = jnp.einsum("npi,npi->np", new_lam, n_srf)
+        ln = _einsum("npi,npi->np", new_lam, n_srf)
         lt = new_lam - ln[..., None] * n_srf
         ln = jnp.maximum(ln, 0.0)
         lt_norm = jnp.linalg.norm(lt, axis=-1)
@@ -468,7 +476,7 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, Sw, Sv, frames,
         new_lam = ln[..., None] * n_srf + lt * scale[..., None]
         new_lam = jnp.where(active[..., None], new_lam, 0.0)
         applied = new_lam - lam
-        gv = gv + jnp.einsum("npvi,npi->nv", MinvJT_p, applied)
+        gv = gv + _einsum("npvi,npi->nv", MinvJT_p, applied)
         return new_lam, gv
 
     lam, gen_vel_new = jax.lax.fori_loop(
@@ -531,7 +539,7 @@ def physics_substep(
     # unconstrained velocity update — closed-form M^-1 (no sequential linalg
     # on TPU; see ops/linalg.py)
     Minv = _mass_matrix_inverse(model, M)
-    qdd_free = jnp.einsum("nij,nj->ni", Minv, tau - bias)
+    qdd_free = _einsum("nij,nj->ni", Minv, tau - bias)
     gen_vel_free = gen_vel + dt * qdd_free
 
     # contact impulses on the post-free velocity (semi-implicit)
@@ -571,7 +579,7 @@ def physics_substep(
     rep_onehot = jnp.asarray(
         np.eye(model.num_report_bodies, dtype=np.float32)[model.cp_report_body],
         dtype=f32)                                        # (P, 17)
-    seg = jnp.einsum("pr,npi->nri", rep_onehot, cp_forces)
+    seg = _einsum("pr,npi->nri", rep_onehot, cp_forces)
     foot_forces = cp_forces[:, model.cp_is_foot, :]
     return new_state, ContactInfo(report_forces=seg, foot_forces=foot_forces)
 
@@ -583,18 +591,18 @@ def foot_positions_velocities(model: RobotModel, state: PhysicsState):
     f32 = state.base_pos.dtype
     foot_onehot = jnp.asarray(
         np.eye(model.nb, dtype=np.float32)[model.foot_body], dtype=f32)
-    Rb = jnp.einsum("fb,nbij->nfij", foot_onehot, frames.R)
-    pb = jnp.einsum("fb,nbi->nfi", foot_onehot, frames.p)
+    Rb = _einsum("fb,nbij->nfij", foot_onehot, frames.R)
+    pb = _einsum("fb,nbi->nfi", foot_onehot, frames.p)
     off = jnp.asarray(model.foot_offset, dtype=f32)
-    p_foot = pb + jnp.einsum("nfij,fj->nfi", Rb, off)
+    p_foot = pb + _einsum("nfij,fj->nfi", Rb, off)
     # velocity = body twist at foot point
     gen_vel = jnp.concatenate(
         [state.base_ang_vel, state.base_lin_vel, state.qd], axis=-1
     )
     Sw, Sv = joint_twists(model, frames, state.base_pos)
     Vw, Vv = body_twists(model, Sw, Sv, gen_vel)   # about base ref
-    w = jnp.einsum("fb,nbk->nfk", foot_onehot, Vw)
-    v = jnp.einsum("fb,nbk->nfk", foot_onehot, Vv)
+    w = _einsum("fb,nbk->nfk", foot_onehot, Vw)
+    v = _einsum("fb,nbk->nfk", foot_onehot, Vv)
     r = p_foot - state.base_pos[:, None, :]
     v_foot = v + jnp.cross(w, r)
     return p_foot, v_foot
