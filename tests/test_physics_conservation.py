@@ -1,0 +1,122 @@
+"""Physics conservation laws in free flight (no contact, no actuation) —
+the integrator/dynamics oracle tests that need no reference engine."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from walk_these_ways_tpu.models.robot import go1, default_dof_pos
+from walk_these_ways_tpu.physics import engine as eng
+from walk_these_ways_tpu.go1_config import GO1_DEFAULT_JOINT_ANGLES
+
+N = 2
+
+
+def _airborne_state(rng):
+    model = go1()
+    ddp = default_dof_pos(model, dict(GO1_DEFAULT_JOINT_ANGLES))
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return model, eng.PhysicsState(
+        base_pos=jnp.tile(jnp.array([0.0, 0.0, 50.0]), (N, 1)),
+        base_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (N, 1)),
+        base_lin_vel=jax.random.uniform(k1, (N, 3), minval=-1, maxval=1),
+        base_ang_vel=jax.random.uniform(k2, (N, 3), minval=-2, maxval=2),
+        q=jnp.tile(ddp, (N, 1)),
+        qd=jax.random.uniform(k3, (N, 12), minval=-1, maxval=1) * 0.0,
+    )
+
+
+def _momentum(model, state, dyn):
+    """Linear momentum and CoM velocity from the generalized state."""
+    frames = eng.forward_kinematics(model, state)
+    Sw, Sv = eng.joint_twists(model, frames, state.base_pos)
+    gen_vel = jnp.concatenate(
+        [state.base_ang_vel, state.base_lin_vel, state.qd], axis=-1)
+    Vw, Vv = eng.body_twists(model, Sw, Sv, gen_vel)
+    blk = eng.inertia_blocks(model, frames, state.base_pos, dyn)
+    # P = sum_b m_b * v_com_b ; v_com = Vv + Vw x r_com
+    r = frames.com - state.base_pos[:, None, :]
+    v_com = Vv + jnp.cross(Vw, r)
+    P = jnp.sum(blk.m[..., None] * v_com, axis=1)
+    return P
+
+
+def test_linear_momentum_under_gravity():
+    """In free flight dP/dt = m_total * g exactly."""
+    model, state = _airborne_state(jax.random.PRNGKey(0))
+    params = eng.SimParams(contact_enabled=False)
+    dyn = eng.identity_dynamics_params(N, gravity=(0.0, 0.0, -9.8))
+    terr = eng.flat_terrain()
+    tau = jnp.zeros((N, 12))
+
+    P0 = np.asarray(_momentum(model, state, dyn))
+    steps = 100
+
+    def body(s, _):
+        s2, _ = eng.physics_substep(model, params, s, tau, dyn, terr)
+        return s2, None
+
+    state2, _ = jax.lax.scan(body, state, None, length=steps)
+    P1 = np.asarray(_momentum(model, state2, dyn))
+    expected = P0 + model.mass.sum() * np.array([0, 0, -9.8]) * steps * params.dt
+    np.testing.assert_allclose(P1, expected, rtol=2e-2, atol=2e-2)
+
+
+def test_airborne_joint_motion_conserves_momentum():
+    """Flailing legs in the air must not change total linear momentum beyond
+    gravity's contribution (internal forces cancel)."""
+    model, state = _airborne_state(jax.random.PRNGKey(1))
+    params = eng.SimParams(contact_enabled=False)
+    dyn = eng.identity_dynamics_params(N, gravity=(0.0, 0.0, 0.0))
+    terr = eng.flat_terrain()
+
+    P0 = np.asarray(_momentum(model, state, dyn))
+
+    def body(s, i):
+        # gentle torques: stay below the joint velocity clamp, which is a
+        # deliberately momentum-violating safety feature (PhysX maxVelocity)
+        tau = 0.25 * jnp.sin(0.2 * i) * jnp.ones((N, 12))
+        s2, _ = eng.physics_substep(model, params, s, tau, dyn, terr)
+        return s2, None
+
+    state2, _ = jax.lax.scan(body, state, jnp.arange(60))
+    P1 = np.asarray(_momentum(model, state2, dyn))
+    np.testing.assert_allclose(P1, P0, atol=0.15)
+
+
+def test_restitution_bounce():
+    """Restitution oracle: drop the robot upside down so the rigid trunk box
+    (not the compliant legs) hits the ground — e=0.9 must rebound at most of
+    the impact speed, e=0 must stop dead."""
+    model = go1()
+    ddp = default_dof_pos(model, dict(GO1_DEFAULT_JOINT_ANGLES))
+    state = eng.PhysicsState(
+        base_pos=jnp.tile(jnp.array([0.0, 0.0, 0.5]), (N, 1)),
+        base_quat=jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (N, 1)),  # flipped
+        base_lin_vel=jnp.zeros((N, 3)),
+        base_ang_vel=jnp.zeros((N, 3)),
+        q=jnp.tile(ddp, (N, 1)),
+        qd=jnp.zeros((N, 12)),
+    )
+    params = eng.SimParams()
+    terr = eng.flat_terrain()
+    target = jnp.tile(ddp, (N, 1))
+
+    def run(restitution):
+        dyn = eng.identity_dynamics_params(N)._replace(
+            restitution=jnp.full((N,), restitution))
+
+        def body(s, _):
+            tau = 20.0 * (target - s.q) - 1.0 * s.qd
+            s2, _ = eng.physics_substep(model, params, s, tau, dyn, terr)
+            return s2, s2.base_lin_vel[:, 2]
+
+        _, vz = jax.lax.scan(body, state, None, length=300)
+        return np.asarray(vz)
+
+    vz_bouncy = run(0.9)
+    vz_dead = run(0.0)
+    assert np.isfinite(vz_bouncy).all() and np.isfinite(vz_dead).all()
+    impact = vz_bouncy.min()
+    assert vz_bouncy.max() > 0.5 * abs(impact), (vz_bouncy.max(), impact)
+    assert vz_dead.max() < 0.35, vz_dead.max()
