@@ -82,8 +82,9 @@ def play_go1(policy_path: str, steps: int = 250):
         xs.append(float(state.phys.base_pos[0, 0]))
     import numpy as np
     vxs = np.array(vxs)
-    print(f"mean vx over rollout: {vxs.mean():.3f} m/s (target 1.5)")
-    print(f"final displacement: {xs[-1] - xs[0]:.2f} m in {steps*env.dt:.1f} s")
+    print(f"mean body-frame vx over rollout: {vxs.mean():.3f} m/s (target 1.5)")
+    print(f"distance covered: {abs(xs[-1] - xs[0]):.2f} m along world-x "
+          f"in {steps*env.dt:.1f} s (spawn yaw is randomized)")
     return vxs
 
 
