@@ -120,3 +120,41 @@ def test_restitution_bounce():
     impact = vz_bouncy.min()
     assert vz_bouncy.max() > 0.5 * abs(impact), (vz_bouncy.max(), impact)
     assert vz_dead.max() < 0.35, vz_dead.max()
+
+
+def test_cached_substep_matches_exact():
+    """Matrix-reuse mode must track the exact path closely over a control
+    step horizon (the cache is rebuilt every 4 substeps in the env)."""
+    import jax
+    from walk_these_ways_tpu.go1_config import mob_train_cfg, GO1_DEFAULT_JOINT_ANGLES
+    model = go1()
+    ddp = default_dof_pos(model, dict(GO1_DEFAULT_JOINT_ANGLES))
+    n = 3
+    state = eng.PhysicsState(
+        base_pos=jnp.tile(jnp.array([0.0, 0.0, 0.30]), (n, 1)),
+        base_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (n, 1)),
+        base_lin_vel=jnp.array([[0.3, 0.0, 0.0]] * n),
+        base_ang_vel=jnp.array([[0.0, 0.0, 0.5]] * n),
+        q=jnp.tile(ddp, (n, 1)),
+        qd=jnp.zeros((n, 12)),
+    )
+    params = eng.SimParams()
+    dyn = eng.identity_dynamics_params(n)
+    terr = eng.flat_terrain()
+    tau = 20.0 * (jnp.tile(ddp, (n, 1)) - state.q)
+
+    s_exact = state
+    s_cached = state
+    for ctrl in range(5):          # 5 control steps of 4 substeps
+        cache = eng.build_dynamics_cache(model, params, s_cached, dyn)
+        for _ in range(4):
+            tau_e = 20.0 * (jnp.tile(ddp, (n, 1)) - s_exact.q) - 0.5 * s_exact.qd
+            s_exact, _ = eng.physics_substep(model, params, s_exact, tau_e,
+                                             dyn, terr)
+            tau_c = 20.0 * (jnp.tile(ddp, (n, 1)) - s_cached.q) - 0.5 * s_cached.qd
+            s_cached, _ = eng.physics_substep_cached(
+                model, params, s_cached, tau_c, dyn, terr, cache)
+    np.testing.assert_allclose(np.asarray(s_cached.base_pos),
+                               np.asarray(s_exact.base_pos), atol=0.02)
+    np.testing.assert_allclose(np.asarray(s_cached.q),
+                               np.asarray(s_exact.q), atol=0.05)

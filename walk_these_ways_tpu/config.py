@@ -367,7 +367,10 @@ class NoiseScalesCfg:
 class SimCfg:
     dt: float = 0.005
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
-    num_contact_iters: int = 8
+    num_contact_iters: int = 16
+    # reuse mass matrix / contact factorizations across the decimation
+    # substeps of one control step (speed knob; ~cm-scale geometric lag)
+    reuse_matrices: bool = False
 
 
 @dataclass(frozen=True)

@@ -127,6 +127,7 @@ class LeggedRobotEnv:
 
         self.sim_params = engine.SimParams(
             dt=cfg.sim.dt, num_contact_iters=cfg.sim.num_contact_iters)
+        self.reuse_matrices = cfg.sim.reuse_matrices
 
         # terrain ---------------------------------------------------------
         np_rng = np.random.RandomState(terrain_seed)
@@ -564,14 +565,29 @@ class LeggedRobotEnv:
             gravity=jnp.tile(gravity[None, :], (N, 1)),
         )
 
-        def substep(carry, _):
-            st = carry
-            tau, target, lag, hist = self._compute_torques(st)
-            phys2, cinfo = engine.physics_substep(
-                m, self.sim_params, st.phys, tau, dyn, self.terrain)
-            st = st._replace(phys=phys2, torques=tau,
-                             joint_pos_target=target, lag_buffer=lag, **hist)
-            return st, cinfo
+        if cfg.sim.reuse_matrices:
+            cache = engine.build_dynamics_cache(
+                m, self.sim_params, state.phys, dyn)
+
+            def substep(carry, _):
+                st = carry
+                tau, target, lag, hist = self._compute_torques(st)
+                phys2, cinfo = engine.physics_substep_cached(
+                    m, self.sim_params, st.phys, tau, dyn, self.terrain, cache)
+                st = st._replace(phys=phys2, torques=tau,
+                                 joint_pos_target=target, lag_buffer=lag,
+                                 **hist)
+                return st, cinfo
+        else:
+            def substep(carry, _):
+                st = carry
+                tau, target, lag, hist = self._compute_torques(st)
+                phys2, cinfo = engine.physics_substep(
+                    m, self.sim_params, st.phys, tau, dyn, self.terrain)
+                st = st._replace(phys=phys2, torques=tau,
+                                 joint_pos_target=target, lag_buffer=lag,
+                                 **hist)
+                return st, cinfo
 
         state, cinfos = jax.lax.scan(substep, state, None,
                                      length=cfg.control.decimation)

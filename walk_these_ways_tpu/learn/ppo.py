@@ -164,13 +164,16 @@ def make_train_iteration(env, args: PPO_Args = PPO_Args(),
         norm_advs = (advs - advs.mean()) / (advs.std() + 1e-8)
         return returns, norm_advs
 
-    def minibatch_update(carry, idx):
+    def minibatch_update(carry, start):
         params, opt_state, adapt_opt_state, lr, data = carry
         (hist, priv, actions, old_logp, old_mu, old_sigma, target_values,
          returns, advantages) = data
+        # data is pre-permuted once per update; minibatches are contiguous
+        # dynamic slices (no per-minibatch gather over the 100s-of-MB batch)
+        mb = hist.shape[0] // args.num_mini_batches
 
         def take(x):
-            return x[idx]
+            return jax.lax.dynamic_slice_in_dim(x, start, mb, axis=0)
 
         hist_mb = take(hist)
         priv_mb = take(priv)
@@ -272,19 +275,20 @@ def make_train_iteration(env, args: PPO_Args = PPO_Args(),
         T, N = traj.rewards.shape
         batch = T * N
         mb_size = batch // args.num_mini_batches
-        data = (flat(traj.obs_history), flat(traj.privileged_obs),
-                flat(traj.actions), flat(traj.log_probs), flat(traj.mu),
-                flat(traj.sigma), flat(traj.values), flat(returns),
-                flat(advantages))
         perm = jax.random.permutation(k_perm, batch)
-        # same permutation reused across epochs (rollout_storage.py:103)
-        idxs = jnp.tile(
-            perm[: mb_size * args.num_mini_batches].reshape(
-                args.num_mini_batches, mb_size),
-            (args.num_learning_epochs, 1))
+        # shuffle ONCE, then slice contiguous minibatches; the same
+        # permutation is reused across epochs (rollout_storage.py:103)
+        data = tuple(
+            flat(x)[perm]
+            for x in (traj.obs_history, traj.privileged_obs, traj.actions,
+                      traj.log_probs, traj.mu, traj.sigma, traj.values,
+                      returns, advantages))
+        starts = jnp.tile(
+            jnp.arange(args.num_mini_batches, dtype=jnp.int32) * mb_size,
+            args.num_learning_epochs)
 
         carry = (ts.params, ts.opt_state, ts.adapt_opt_state, ts.lr, data)
-        carry, ms = jax.lax.scan(minibatch_update, carry, idxs)
+        carry, ms = jax.lax.scan(minibatch_update, carry, starts)
         params, opt_state, adapt_opt_state, lr, _ = carry
 
         n_updates = args.num_learning_epochs * args.num_mini_batches

@@ -491,6 +491,172 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, Sw, Sv, frames,
 
 
 # ---------------------------------------------------------------------------
+# cached control step (matrix reuse across decimation substeps)
+# ---------------------------------------------------------------------------
+
+
+class DynamicsCache(NamedTuple):
+    """Per-control-step cached dynamics quantities, anchored at the first
+    substep's geometry.  M(q)/M^-1, twist bases, inertia blocks, and contact
+    Jacobian factorizations vary on the ~cm / ~3deg scale across a 20 ms
+    control step; reusing them for the remaining decimation substeps trades
+    a small geometric lag for skipping the most expensive contractions.
+    Enabled via Cfg.sim.reuse_matrices (off by default = exact per-substep
+    recomputation like PhysX)."""
+
+    ref: jnp.ndarray          # (N, 3) anchor reference point
+    Sw: jnp.ndarray
+    Sv: jnp.ndarray
+    blk: InertiaBlocks
+    Minv: jnp.ndarray
+    J: jnp.ndarray            # (N, P, 3, nv)
+    MinvJT_p: jnp.ndarray     # (N, P, nv, 3)
+    Lam: jnp.ndarray          # (N, P, 3, 3)
+
+
+def build_dynamics_cache(model: RobotModel, params: SimParams,
+                         state: PhysicsState, dyn: DynamicsParams) -> DynamicsCache:
+    f32 = state.base_pos.dtype
+    N = state.base_pos.shape[0]
+    frames = forward_kinematics(model, state)
+    ref = state.base_pos
+    Sw, Sv = joint_twists(model, frames, ref)
+    blk = inertia_blocks(model, frames, ref, dyn)
+    M = mass_matrix(model, Sw, Sv, blk)
+    M = M + 1e-7 * jnp.eye(model.nv, dtype=f32)[None]
+    Minv = _mass_matrix_inverse(model, M)
+    # contact Jacobians at anchor geometry
+    P = model.cp_body.shape[0]
+    cp_onehot = jnp.asarray(
+        np.eye(model.nb, dtype=np.float32)[model.cp_body], dtype=f32)
+    cp_off = jnp.asarray(model.cp_offset, dtype=f32)
+    Rb = _einsum("pb,nbij->npij", cp_onehot, frames.R)
+    pb = _einsum("pb,nbi->npi", cp_onehot, frames.p)
+    p_cp = pb + _einsum("npij,pj->npi", Rb, cp_off)
+    anc_p = jnp.asarray(model.anc_dof_body[:, model.cp_body], dtype=f32)
+    r = p_cp - ref[:, None, :]
+    nv = Sw.shape[1]
+    Jl = Sv[:, None, :, :] + jnp.cross(
+        jnp.broadcast_to(Sw[:, None, :, :], (N, P, nv, 3)),
+        jnp.broadcast_to(r[:, :, None, :], (N, P, nv, 3)))
+    J = jnp.swapaxes(Jl * anc_p.T[None, :, None, :].transpose(0, 1, 3, 2), 2, 3)
+    MinvJT_p = _einsum("nvw,npiw->npvi", Minv, J)
+    W = _einsum("npiv,npvj->npij", J, MinvJT_p) + 1e-6 * jnp.eye(3, dtype=f32)
+    Lam = la.inv3(W)
+    return DynamicsCache(ref=ref, Sw=Sw, Sv=Sv, blk=blk, Minv=Minv, J=J,
+                         MinvJT_p=MinvJT_p, Lam=Lam)
+
+
+def physics_substep_cached(
+    model: RobotModel,
+    params: SimParams,
+    state: PhysicsState,
+    joint_torques: jnp.ndarray,
+    dyn: DynamicsParams,
+    terrain: Terrain,
+    cache: DynamicsCache,
+) -> tuple[PhysicsState, ContactInfo]:
+    """Substep using cached matrices (fresh: torques, contact gaps, bias
+    velocity terms, integration)."""
+    f32 = state.base_pos.dtype
+    N = state.base_pos.shape[0]
+    dt = params.dt
+    ref = cache.ref
+    # generalized velocity expressed at the anchor point
+    delta = ref - state.base_pos
+    v_ref = state.base_lin_vel + jnp.cross(state.base_ang_vel, delta)
+    gen_vel = jnp.concatenate([state.base_ang_vel, v_ref, state.qd], axis=-1)
+    Vw, Vv = body_twists(model, cache.Sw, cache.Sv, gen_vel)
+    bias = bias_forces(model, cache.Sw, cache.Sv, Vw, Vv, cache.blk,
+                       gen_vel, dyn.gravity)
+
+    lo = jnp.asarray(model.dof_lower, dtype=f32)
+    hi = jnp.asarray(model.dof_upper, dtype=f32)
+    over_hi = jnp.maximum(state.q - hi, 0.0)
+    under_lo = jnp.maximum(lo - state.q, 0.0)
+    tau_lim = (params.joint_limit_stiffness * (under_lo - over_hi)
+               - params.joint_limit_damping
+               * ((over_hi > 0) | (under_lo > 0)) * state.qd)
+    tau = jnp.concatenate(
+        [jnp.zeros((N, 6), f32), joint_torques + tau_lim], axis=-1)
+
+    qdd = _einsum("nij,nj->ni", cache.Minv, tau - bias)
+    qdd = qdd.at[:, 3:6].add(jnp.cross(state.base_ang_vel, v_ref))
+    gen_vel_free = gen_vel + dt * qdd
+
+    if params.contact_enabled:
+        # fresh contact gaps from fresh FK; cached J/Lam
+        frames = forward_kinematics(model, state)
+        cp_onehot = jnp.asarray(
+            np.eye(model.nb, dtype=np.float32)[model.cp_body], dtype=f32)
+        cp_off = jnp.asarray(model.cp_offset, dtype=f32)
+        Rb = _einsum("pb,nbij->npij", cp_onehot, frames.R)
+        pb = _einsum("pb,nbi->npi", cp_onehot, frames.p)
+        p_cp = pb + _einsum("npij,pj->npi", Rb, cp_off)
+        radius = jnp.asarray(model.cp_radius, dtype=f32)
+        h, n_srf = terrain.lookup(p_cp[..., 0], p_cp[..., 1])
+        phi = h + radius[None, :] - p_cp[..., 2]
+        active = phi > 0.0
+        mu = 0.5 * (dyn.friction[:, None] + 1.0)
+        e = dyn.restitution[:, None]
+        v0 = _einsum("npiv,nv->npi", cache.J, gen_vel_free)
+        vn0 = _einsum("npi,npi->np", v0, n_srf)
+        bounce = jnp.where(vn0 < -params.bounce_threshold_velocity,
+                           -e * vn0, 0.0)
+        cbias = params.contact_baumgarte / dt * jnp.maximum(
+            phi - params.contact_slop, 0.0)
+        target_n = jnp.maximum(bounce, cbias)
+        P = model.cp_body.shape[0]
+        lam0 = jnp.zeros((N, P, 3), f32)
+
+        def iter_body(_, carry):
+            lam, gv = carry
+            v = _einsum("npiv,nv->npi", cache.J, gv)
+            dv_des = target_n[..., None] * n_srf - v
+            dlam = params.relaxation * _einsum("npij,npj->npi", cache.Lam, dv_des)
+            new_lam = lam + dlam
+            ln = _einsum("npi,npi->np", new_lam, n_srf)
+            lt = new_lam - ln[..., None] * n_srf
+            ln = jnp.maximum(ln, 0.0)
+            lt_norm = jnp.linalg.norm(lt, axis=-1)
+            max_t = mu * ln
+            scale = jnp.where(lt_norm > max_t,
+                              max_t / jnp.maximum(lt_norm, 1e-9), 1.0)
+            new_lam = ln[..., None] * n_srf + lt * scale[..., None]
+            new_lam = jnp.where(active[..., None], new_lam, 0.0)
+            gv = gv + _einsum("npvi,npi->nv", cache.MinvJT_p, new_lam - lam)
+            return new_lam, gv
+
+        lam, gen_vel_new = jax.lax.fori_loop(
+            0, params.num_contact_iters, iter_body, (lam0, gen_vel_free))
+        cp_forces = lam / dt
+    else:
+        P = model.cp_body.shape[0]
+        cp_forces = jnp.zeros((N, P, 3), f32)
+        gen_vel_new = gen_vel_free
+
+    vlim = jnp.asarray(model.dof_vel_limit, dtype=f32)
+    qd_new = jnp.clip(gen_vel_new[:, 6:], -vlim, vlim)
+    ang_new = gen_vel_new[:, :3]
+    v_ref_new = gen_vel_new[:, 3:6]
+    # velocity back at the (moved) base point
+    lin_new = v_ref_new - jnp.cross(ang_new, delta)
+
+    base_pos = state.base_pos + dt * lin_new
+    base_quat = qops.quat_integrate(state.base_quat, ang_new, dt)
+    q_new = state.q + dt * qd_new
+    new_state = PhysicsState(
+        base_pos=base_pos, base_quat=base_quat, base_lin_vel=lin_new,
+        base_ang_vel=ang_new, q=q_new, qd=qd_new)
+    rep_onehot = jnp.asarray(
+        np.eye(model.num_report_bodies, dtype=np.float32)[model.cp_report_body],
+        dtype=f32)
+    seg = _einsum("pr,npi->nri", rep_onehot, cp_forces)
+    foot_forces = cp_forces[:, model.cp_is_foot, :]
+    return new_state, ContactInfo(report_forces=seg, foot_forces=foot_forces)
+
+
+# ---------------------------------------------------------------------------
 # integration step
 # ---------------------------------------------------------------------------
 
