@@ -17,7 +17,6 @@ import numpy as np
 from ..config import Cfg
 from . import messages as msg
 from .bus import Bus
-from .history_wrapper import HistoryWrapper  # noqa: F401 (re-export)
 from .state_estimator import StateEstimator
 
 

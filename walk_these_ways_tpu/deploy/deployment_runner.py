@@ -8,7 +8,6 @@ per-step logging, and the |roll|,|pitch| > 1.6 rad emergency recalibrate
 """
 from __future__ import annotations
 
-import copy
 import time
 
 import numpy as np

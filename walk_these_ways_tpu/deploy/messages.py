@@ -12,7 +12,7 @@ All floats are f32, ints i32/i8; layouts are packed (no padding).
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, field
 from typing import ClassVar, List
 
 CHANNEL_LEG_CONTROL = "leg_control_data"

@@ -21,8 +21,7 @@ shift last_* buffers.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 import jax

@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
-import jax.scipy.stats as jstats
 
 from ..config import Cfg
 from ..ops import quat as qops

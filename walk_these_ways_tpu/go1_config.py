@@ -9,11 +9,7 @@ from __future__ import annotations
 
 from dataclasses import replace
 
-from .config import (
-    Cfg, CommandsCfg, ControlCfg, CurriculumThresholds, DomainRandCfg, EnvCfg,
-    InitStateCfg, NoiseCfg, NormalizationCfg, RewardScalesCfg, RewardsCfg,
-    TerrainCfg,
-)
+from .config import Cfg, ControlCfg, CurriculumThresholds, DomainRandCfg, InitStateCfg
 
 GO1_DEFAULT_JOINT_ANGLES = (
     ("FL_hip_joint", 0.1), ("RL_hip_joint", 0.1),

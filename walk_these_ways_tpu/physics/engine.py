@@ -30,7 +30,7 @@ legged_robot_config.py:402-421).  Design notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
