@@ -35,6 +35,10 @@ class RunnerArgs:
     log_freq: int = 10
     resume: bool = False
     resume_path: Optional[str] = None
+    # render a short student-policy rollout every N iterations (0 = off);
+    # analog of the reference's save_video_interval camera capture
+    render_interval: int = 0
+    render_steps: int = 100
 
 
 class Runner:
@@ -123,10 +127,38 @@ class Runner:
                                        f"train_state_{it+1:06d}.pkl"))
                 self.export_policy(os.path.join(self.log_dir, "checkpoints"))
 
+            if (self.args.render_interval
+                    and (it + 1) % self.args.render_interval == 0):
+                self.log_video(it + 1)
+
         self.save(os.path.join(self.log_dir, "checkpoints",
                                "train_state_last.pkl"))
         self.export_policy(os.path.join(self.log_dir, "checkpoints"))
         return self.train_state
+
+    def log_video(self, it: int):
+        """Render env 0 of the live training env under the current student
+        policy for render_steps control steps (reference log_video,
+        ppo_cse/__init__.py:277-296).  Uses a throwaway copy of the env
+        state so training statistics are unaffected."""
+        from ..models import actor_critic as ac
+        from ..utils.render import render_trajectory
+
+        state, obs = self.env_state, self.obs_dict
+        pol = jax.jit(lambda p, h: ac.actor_mean(p, h))
+        step = jax.jit(self.env.step)
+        frames = []
+        for _ in range(self.args.render_steps):
+            actions = pol(self.train_state.params, obs["obs_history"])
+            state, obs, rew, done, info = step(state, actions)
+            frames.append(jax.tree.map(
+                lambda x: np.asarray(x[0:1]), state.phys))
+        out_dir = os.path.join(self.log_dir, "videos")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"{it:05d}.gif")
+        render_trajectory(self.env.model, frames, path,
+                          fps=int(1 / self.env.dt), stride=2)
+        print(f"saved video {path}", flush=True)
 
     # -- persistence ------------------------------------------------------
     def save(self, path: str):
