@@ -67,6 +67,9 @@ class SimParams:
     # realistic contact sets while 16 iterations restore convergence.
     relaxation: float = 0.4
     armature: float = 0.0
+    # run the impulse iteration as a Pallas VMEM-resident kernel
+    # (ops/pallas_contact.py) instead of an XLA fori_loop
+    use_pallas_contact: bool = False
 
     def __hash__(self):
         return hash(tuple(dataclasses.asdict(self).values()))
@@ -459,13 +462,29 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, Sw, Sv, frames,
     bias = params.contact_baumgarte / dt * jnp.maximum(phi - params.contact_slop, 0.0)
     target_n = jnp.maximum(bounce, bias)
 
-    lam = jnp.zeros((N, P, 3), f32)
+    lam, gen_vel_new = _impulse_iteration(
+        params, J, MinvJT_p, Lam, n_srf, target_n, mu, active, gen_vel)
+    forces = lam / dt                                     # impulses -> forces
+    return gen_vel_new - gen_vel, forces, p_cp
 
-    # PGS in dual space: iterate impulse updates with exact block masses
+
+def _impulse_iteration(params: SimParams, J, MinvJT_p, Lam, n_srf, target_n,
+                       mu, active, gen_vel):
+    """Projected-Jacobi impulse iterations — XLA fori_loop or the
+    VMEM-resident Pallas kernel (params.use_pallas_contact)."""
+    if params.use_pallas_contact:
+        from ..ops.pallas_contact import contact_solve_pallas
+        gv_new, lam = contact_solve_pallas(
+            J, MinvJT_p, Lam, n_srf, target_n, mu, active, gen_vel,
+            params.num_contact_iters, params.relaxation)
+        return lam, gv_new
+
+    N, P = target_n.shape
+    lam0 = jnp.zeros((N, P, 3), gen_vel.dtype)
+
     def iter_body(_, carry):
         lam, gv = carry
         v = _einsum("npiv,nv->npi", J, gv)
-        vn = _einsum("npi,npi->np", v, n_srf)
         # desired velocity: normal -> target_n, tangential -> 0
         dv_des = target_n[..., None] * n_srf - v
         dlam = params.relaxation * _einsum("npij,npj->npi", Lam, dv_des)
@@ -483,11 +502,8 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, Sw, Sv, frames,
         gv = gv + _einsum("npvi,npi->nv", MinvJT_p, applied)
         return new_lam, gv
 
-    lam, gen_vel_new = jax.lax.fori_loop(
-        0, params.num_contact_iters, iter_body, (lam, gen_vel)
-    )
-    forces = lam / dt                                     # impulses -> forces
-    return gen_vel_new - gen_vel, forces, p_cp
+    return jax.lax.fori_loop(
+        0, params.num_contact_iters, iter_body, (lam0, gen_vel))
 
 
 # ---------------------------------------------------------------------------
@@ -606,29 +622,9 @@ def physics_substep_cached(
         cbias = params.contact_baumgarte / dt * jnp.maximum(
             phi - params.contact_slop, 0.0)
         target_n = jnp.maximum(bounce, cbias)
-        P = model.cp_body.shape[0]
-        lam0 = jnp.zeros((N, P, 3), f32)
-
-        def iter_body(_, carry):
-            lam, gv = carry
-            v = _einsum("npiv,nv->npi", cache.J, gv)
-            dv_des = target_n[..., None] * n_srf - v
-            dlam = params.relaxation * _einsum("npij,npj->npi", cache.Lam, dv_des)
-            new_lam = lam + dlam
-            ln = _einsum("npi,npi->np", new_lam, n_srf)
-            lt = new_lam - ln[..., None] * n_srf
-            ln = jnp.maximum(ln, 0.0)
-            lt_norm = jnp.linalg.norm(lt, axis=-1)
-            max_t = mu * ln
-            scale = jnp.where(lt_norm > max_t,
-                              max_t / jnp.maximum(lt_norm, 1e-9), 1.0)
-            new_lam = ln[..., None] * n_srf + lt * scale[..., None]
-            new_lam = jnp.where(active[..., None], new_lam, 0.0)
-            gv = gv + _einsum("npvi,npi->nv", cache.MinvJT_p, new_lam - lam)
-            return new_lam, gv
-
-        lam, gen_vel_new = jax.lax.fori_loop(
-            0, params.num_contact_iters, iter_body, (lam0, gen_vel_free))
+        lam, gen_vel_new = _impulse_iteration(
+            params, cache.J, cache.MinvJT_p, cache.Lam, n_srf, target_n, mu,
+            active, gen_vel_free)
         cp_forces = lam / dt
     else:
         P = model.cp_body.shape[0]
