@@ -474,8 +474,9 @@ def _impulse_iteration(params: SimParams, J, MinvJT_p, Lam, n_srf, target_n,
     VMEM-resident Pallas kernel (params.use_pallas_contact)."""
     if params.use_pallas_contact:
         from ..ops.pallas_contact import contact_solve_pallas
+        mu_full = jnp.broadcast_to(mu, target_n.shape)
         gv_new, lam = contact_solve_pallas(
-            J, MinvJT_p, Lam, n_srf, target_n, mu, active, gen_vel,
+            J, MinvJT_p, Lam, n_srf, target_n, mu_full, active, gen_vel,
             params.num_contact_iters, params.relaxation)
         return lam, gv_new
 
