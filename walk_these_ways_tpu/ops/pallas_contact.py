@@ -18,7 +18,8 @@ Layouts (kernel-side, env-minor):
     gv       (nv, B)        generalized velocity (in/out)
     lam_out  (P, 3, B)      impulses (out)
 
-B (env block) = 512 keeps J + MinvJT + scratch ~7 MB in VMEM.
+B (env block) = 256 keeps J + MinvJT (double-buffered by the
+pipeline) + scratch under the 16 MB VMEM budget.
 The grid is (N // B,) over env blocks; each program is independent.
 
 The caller-side wrapper transposes from the engine's (N, ...) layout, pads
@@ -78,22 +79,10 @@ def _solve_kernel(J_ref, MinvJT_ref, Lam_ref, n_ref, tgt_ref, mu_ref,
     lam_out_ref[:] = lam
 
 
-def contact_solve_pallas(J, MinvJT_p, Lam, n_srf, target_n, mu, active,
-                         gen_vel, num_iters: int, relaxation: float,
-                         block: int = 512, interpret: bool = False):
-    """Drop-in replacement for the engine's PGS loop.
-
-    Args (engine layouts):
-        J        (N, P, 3, nv)
-        MinvJT_p (N, P, nv, 3)
-        Lam      (N, P, 3, 3)
-        n_srf    (N, P, 3)
-        target_n (N, P)
-        mu       (N, P)
-        active   (N, P) bool
-        gen_vel  (N, nv)
-    Returns (gen_vel_new (N, nv), lam (N, P, 3)).
-    """
+def prepare_big_operands(J, MinvJT_p, Lam, block: int = 256):
+    """Pre-transpose the large per-control-step operands to env-minor layout.
+    Call once per dynamics cache build; the per-substep solve then only
+    transposes the small arrays."""
     N, P, _, nv = J.shape
     B = min(block, max(N, 8))
     Npad = ((N + B - 1) // B) * B
@@ -109,10 +98,27 @@ def contact_solve_pallas(J, MinvJT_p, Lam, n_srf, target_n, mu, active,
     Mt = prep(MinvJT_p.transpose(0, 2, 1, 3).reshape(N, nv, P * 3),
               (1, 2, 0), (nv, P * 3, Npad))
     Lt = prep(Lam.reshape(N, P, 9), (1, 2, 0), (P, 9, Npad))
+    return (Jt, Mt, Lt, N, P, nv, B)
+
+
+def contact_solve_pallas_prepped(ops, n_srf, target_n, mu, active, gen_vel,
+                                 num_iters: int, relaxation: float,
+                                 interpret: bool = False):
+    """Solve with pre-transposed big operands (see prepare_big_operands)."""
+    Jt, Mt, Lt, N, P, nv, B = ops
+    Npad = Jt.shape[-1]
+    pad = Npad - N
+
+    def prep(x, perm, shape):
+        x = jnp.transpose(x, perm)
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        return x.reshape(shape)
+
     nt = prep(n_srf, (1, 2, 0), (P, 3, Npad))
     tt = prep(target_n, (1, 0), (P, Npad))
     mt = prep(mu, (1, 0), (P, Npad))
-    at = prep(active.astype(J.dtype), (1, 0), (P, Npad))
+    at = prep(active.astype(Jt.dtype), (1, 0), (P, Npad))
     gt = prep(gen_vel, (1, 0), (nv, Npad))
 
     grid = (Npad // B,)
@@ -132,11 +138,33 @@ def contact_solve_pallas(J, MinvJT_p, Lam, n_srf, target_n, mu, active,
                   spec(nt.shape), spec(tt.shape), spec(mt.shape),
                   spec(at.shape), spec(gt.shape)],
         out_specs=(spec((nv, Npad)), spec((P, 3, Npad))),
-        out_shape=(jax.ShapeDtypeStruct((nv, Npad), J.dtype),
-                   jax.ShapeDtypeStruct((P, 3, Npad), J.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((nv, Npad), Jt.dtype),
+                   jax.ShapeDtypeStruct((P, 3, Npad), Jt.dtype)),
         interpret=interpret,
     )(Jt, Mt, Lt, nt, tt, mt, at, gt)
 
     gv_new = jnp.transpose(gv_out, (1, 0))[:N]
     lam = jnp.transpose(lam_out, (2, 0, 1))[:N]
     return gv_new, lam
+
+
+def contact_solve_pallas(J, MinvJT_p, Lam, n_srf, target_n, mu, active,
+                         gen_vel, num_iters: int, relaxation: float,
+                         block: int = 256, interpret: bool = False):
+    """Drop-in replacement for the engine's PGS loop.
+
+    Args (engine layouts):
+        J        (N, P, 3, nv)
+        MinvJT_p (N, P, nv, 3)
+        Lam      (N, P, 3, 3)
+        n_srf    (N, P, 3)
+        target_n (N, P)
+        mu       (N, P)
+        active   (N, P) bool
+        gen_vel  (N, nv)
+    Returns (gen_vel_new (N, nv), lam (N, P, 3)).
+    """
+    ops = prepare_big_operands(J, MinvJT_p, Lam, block)
+    return contact_solve_pallas_prepped(ops, n_srf, target_n, mu, active,
+                                        gen_vel, num_iters, relaxation,
+                                        interpret)

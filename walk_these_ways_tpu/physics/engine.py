@@ -529,6 +529,9 @@ class DynamicsCache(NamedTuple):
     J: jnp.ndarray            # (N, P, 3, nv)
     MinvJT_p: jnp.ndarray     # (N, P, nv, 3)
     Lam: jnp.ndarray          # (N, P, 3, 3)
+    # env-minor pre-transposed operands for the Pallas contact kernel
+    # (populated only when SimParams.use_pallas_contact)
+    pallas_ops: tuple = ()
 
 
 def build_dynamics_cache(model: RobotModel, params: SimParams,
@@ -560,8 +563,12 @@ def build_dynamics_cache(model: RobotModel, params: SimParams,
     MinvJT_p = _einsum("nvw,npiw->npvi", Minv, J)
     W = _einsum("npiv,npvj->npij", J, MinvJT_p) + 1e-6 * jnp.eye(3, dtype=f32)
     Lam = la.inv3(W)
+    pallas_ops = ()
+    if params.use_pallas_contact:
+        from ..ops.pallas_contact import prepare_big_operands
+        pallas_ops = prepare_big_operands(J, MinvJT_p, Lam)
     return DynamicsCache(ref=ref, Sw=Sw, Sv=Sv, blk=blk, Minv=Minv, J=J,
-                         MinvJT_p=MinvJT_p, Lam=Lam)
+                         MinvJT_p=MinvJT_p, Lam=Lam, pallas_ops=pallas_ops)
 
 
 def physics_substep_cached(
@@ -623,9 +630,16 @@ def physics_substep_cached(
         cbias = params.contact_baumgarte / dt * jnp.maximum(
             phi - params.contact_slop, 0.0)
         target_n = jnp.maximum(bounce, cbias)
-        lam, gen_vel_new = _impulse_iteration(
-            params, cache.J, cache.MinvJT_p, cache.Lam, n_srf, target_n, mu,
-            active, gen_vel_free)
+        if params.use_pallas_contact and cache.pallas_ops:
+            from ..ops.pallas_contact import contact_solve_pallas_prepped
+            gen_vel_new, lam = contact_solve_pallas_prepped(
+                cache.pallas_ops, n_srf, target_n,
+                jnp.broadcast_to(mu, target_n.shape), active, gen_vel_free,
+                params.num_contact_iters, params.relaxation)
+        else:
+            lam, gen_vel_new = _impulse_iteration(
+                params, cache.J, cache.MinvJT_p, cache.Lam, n_srf, target_n,
+                mu, active, gen_vel_free)
         cp_forces = lam / dt
     else:
         P = model.cp_body.shape[0]
