@@ -58,7 +58,17 @@ class SimParams:
     contact_enabled: bool = True       # benchmarking knob
     contact_baumgarte: float = 0.2     # position-error feedback factor
     contact_slop: float = 0.002        # penetration tolerance [m]
+    # cap on the Baumgarte push-out velocity (reference physx config
+    # max_depenetration_velocity, legged_robot_config.py:418) — unbounded
+    # depenetration targets inject energy in deep-penetration pile-ups
+    max_depenetration_velocity: float = 1.0
     bounce_threshold_velocity: float = 0.5   # reference physx config
+    # hard caps on base velocities (PhysX max_linear/angular_velocity
+    # analogue, far above the operating envelope): breaks the exponential
+    # growth of any rare diverging contact configuration so the env
+    # terminates and resets instead of going non-finite
+    max_base_lin_vel: float = 50.0
+    max_base_ang_vel: float = 50.0
     joint_limit_stiffness: float = 60.0
     joint_limit_damping: float = 2.0
     # Jacobi (simultaneous) impulse updates diverge at relaxation 1.0 when
@@ -459,7 +469,9 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, Sw, Sv, frames,
     v0 = _einsum("npiv,nv->npi", J, gen_vel)
     vn0 = _einsum("npi,npi->np", v0, n_srf)
     bounce = jnp.where(vn0 < -params.bounce_threshold_velocity, -e * vn0, 0.0)
-    bias = params.contact_baumgarte / dt * jnp.maximum(phi - params.contact_slop, 0.0)
+    bias = jnp.minimum(
+        params.contact_baumgarte / dt * jnp.maximum(phi - params.contact_slop, 0.0),
+        params.max_depenetration_velocity)
     target_n = jnp.maximum(bounce, bias)
 
     lam, gen_vel_new = _impulse_iteration(
@@ -627,8 +639,10 @@ def physics_substep_cached(
         vn0 = _einsum("npi,npi->np", v0, n_srf)
         bounce = jnp.where(vn0 < -params.bounce_threshold_velocity,
                            -e * vn0, 0.0)
-        cbias = params.contact_baumgarte / dt * jnp.maximum(
-            phi - params.contact_slop, 0.0)
+        cbias = jnp.minimum(
+            params.contact_baumgarte / dt * jnp.maximum(
+                phi - params.contact_slop, 0.0),
+            params.max_depenetration_velocity)
         target_n = jnp.maximum(bounce, cbias)
         if params.use_pallas_contact and cache.pallas_ops:
             from ..ops.pallas_contact import contact_solve_pallas_prepped
@@ -648,8 +662,10 @@ def physics_substep_cached(
 
     vlim = jnp.asarray(model.dof_vel_limit, dtype=f32)
     qd_new = jnp.clip(gen_vel_new[:, 6:], -vlim, vlim)
-    ang_new = gen_vel_new[:, :3]
-    v_ref_new = gen_vel_new[:, 3:6]
+    ang_new = jnp.clip(gen_vel_new[:, :3], -params.max_base_ang_vel,
+                       params.max_base_ang_vel)
+    v_ref_new = jnp.clip(gen_vel_new[:, 3:6], -params.max_base_lin_vel,
+                         params.max_base_lin_vel)
     # velocity back at the (moved) base point
     lin_new = v_ref_new - jnp.cross(ang_new, delta)
 
@@ -743,8 +759,10 @@ def physics_substep(
     # clamp joint velocity to URDF limits (PhysX enforces maxVelocity)
     vlim = jnp.asarray(model.dof_vel_limit, dtype=f32)
     qd_new = jnp.clip(gen_vel_new[:, 6:], -vlim, vlim)
-    ang_new = gen_vel_new[:, :3]
-    lin_new = gen_vel_new[:, 3:6]
+    ang_new = jnp.clip(gen_vel_new[:, :3], -params.max_base_ang_vel,
+                       params.max_base_ang_vel)
+    lin_new = jnp.clip(gen_vel_new[:, 3:6], -params.max_base_lin_vel,
+                       params.max_base_lin_vel)
 
     # semi-implicit Euler position update
     base_pos = state.base_pos + dt * lin_new
