@@ -77,33 +77,35 @@ class Runner:
         t_start = time.time()
 
         start_iter = int(self.train_state.iteration)
+        pending = []     # device metric futures; drained at log_freq only —
+        # fetching per-iteration would synchronize the async dispatch queue
+        t_window = time.time()
         for it in range(start_iter, start_iter + n_iters):
-            t0 = time.time()
             self.env_state, self.obs_dict, self.train_state, metrics = \
                 self.train_iter(self.env_state, self.obs_dict, self.train_state)
-            # host-side logging only (no effect on device program)
-            m = jax.device_get(metrics)
-            iter_time = time.time() - t0
+            pending.append(metrics)
             self.tot_timesteps += self.args.num_steps_per_env * self.env.num_envs
 
-            ep_sums_acc += m.ep_sums_done
-            ep_count_acc += float(m.ep_count_done)
-            ep_len_acc += float(m.ep_len_done)
-
-            self.logger.store(
-                mean_value_loss=m.value_loss,
-                mean_surrogate_loss=m.surrogate_loss,
-                adaptation_loss=m.adaptation_loss,
-                mean_adaptation_module_test_loss=m.adaptation_test_loss,
-                mean_kl=m.mean_kl, lr=m.lr,
-                mean_reward_per_step=m.mean_reward,
-                time_iter=iter_time,
-            )
-            for c, name in enumerate(curr.CATEGORY_NAMES):
-                self.logger.store(**{f"command_area_{name}":
-                                     float(m.curriculum_area[c])})
-
             if (it + 1) % self.args.log_freq == 0:
+                iter_time = (time.time() - t_window) / max(len(pending), 1)
+                t_window = time.time()
+                for m in jax.device_get(pending):
+                    ep_sums_acc += m.ep_sums_done
+                    ep_count_acc += float(m.ep_count_done)
+                    ep_len_acc += float(m.ep_len_done)
+                    self.logger.store(
+                        mean_value_loss=m.value_loss,
+                        mean_surrogate_loss=m.surrogate_loss,
+                        adaptation_loss=m.adaptation_loss,
+                        mean_adaptation_module_test_loss=m.adaptation_test_loss,
+                        mean_kl=m.mean_kl, lr=m.lr,
+                        mean_reward_per_step=m.mean_reward,
+                        time_iter=iter_time,
+                    )
+                    for c, name in enumerate(curr.CATEGORY_NAMES):
+                        self.logger.store(**{f"command_area_{name}":
+                                             float(m.curriculum_area[c])})
+                pending = []
                 extra = {"iterations": it + 1, "timesteps": self.tot_timesteps}
                 if ep_count_acc > 0:
                     for i, name in enumerate(term_names):
