@@ -73,6 +73,29 @@ def test_update_failure_no_change():
                                   np.asarray(st.weights))
 
 
+def test_bin_diagnostics_accumulate():
+    """Per-bin episode diagnostics (the on-device SlotCache replacement)
+    accumulate task-reward means and counts only for scored envs."""
+    cfg, grid = _grid()
+    st = curr.init_state(cfg, grid)
+    assert st.bin_task_sums.shape == (4, 441, 4)
+    n = 4
+    tr = jnp.tile(jnp.asarray([1.0, 2.0, 3.0, 4.0])[None, :], (n, 1))
+    st2 = curr.update(
+        st, grid,
+        update_mask=jnp.array([True, True, False, False]),
+        env_bins=jnp.asarray([7, 7, 7, 9], jnp.int32),
+        env_categories=jnp.asarray([2, 2, 2, 0], jnp.int32),
+        task_reward_means=tr,
+        success_thresholds=jnp.full(4, 100.0),  # no weight growth
+    )
+    counts = np.asarray(st2.bin_ep_counts)
+    assert counts[2, 7] == 2.0          # two scored envs in (cat 2, bin 7)
+    assert counts.sum() == 2.0          # unscored envs contribute nothing
+    np.testing.assert_allclose(
+        np.asarray(st2.bin_task_sums)[2, 7], [2.0, 4.0, 6.0, 8.0])
+
+
 def test_sampling_respects_weights():
     cfg, grid = _grid()
     st = curr.init_state(cfg, grid)

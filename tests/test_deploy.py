@@ -91,3 +91,33 @@ def test_bridge_loopback(bridge_binary):
     finally:
         proc.terminate()
         proc.wait(timeout=5)
+
+
+def test_export_policy_load_student_roundtrip(tmp_path):
+    """The deployment artifact (policy_latest.npz from Runner.export_policy)
+    must reproduce the jitted student policy bit-for-bit: the numpy-only
+    deploy-side MLP (deploy_policy.load_student_policy) vs
+    actor_critic.actor_mean on the same obs history (the contract the
+    reference keeps between torch.jit exports and training,
+    ppo_cse/__init__.py:240-251)."""
+    import jax
+    import jax.numpy as jnp
+
+    from walk_these_ways_tpu.deploy.deploy_policy import load_student_policy
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+    from walk_these_ways_tpu.go1_config import small_train_cfg
+    from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
+    from walk_these_ways_tpu.models import actor_critic as ac
+
+    cfg = small_train_cfg(num_envs=4)
+    env = LeggedRobotEnv(cfg)
+    runner = Runner(env, log_dir=str(tmp_path), seed=3)
+    runner.export_policy(str(tmp_path))
+
+    policy = load_student_policy(str(tmp_path / "policy_latest.npz"))
+    rng = np.random.RandomState(0)
+    hist = rng.randn(1, env.num_obs_history).astype(np.float32)
+    a_deploy = policy({"obs_history": hist})
+    a_train = np.asarray(
+        jax.jit(ac.actor_mean)(runner.train_state.params, jnp.asarray(hist)))[0]
+    np.testing.assert_allclose(a_deploy, a_train, atol=1e-6)

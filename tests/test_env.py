@@ -143,3 +143,19 @@ def test_determinism_same_seed():
     np.testing.assert_array_equal(a, b)
     c = rollout(8)
     assert not np.array_equal(a, c)
+
+
+def test_active_terms_raises_on_unimplemented_scale():
+    """A nonzero reward scale with no implementation must fail loudly
+    (stricter than the reference's printed warning,
+    legged_robot.py:1405-1408)."""
+    import dataclasses
+    import pytest
+    from walk_these_ways_tpu.envs import rewards as rew_mod
+    from walk_these_ways_tpu.go1_config import mob_train_cfg
+
+    cfg = mob_train_cfg(num_envs=4)
+    bad = dataclasses.replace(cfg.reward_scales, feet_air_time=1.0)
+    cfg = dataclasses.replace(cfg, reward_scales=bad)
+    with pytest.raises(NotImplementedError, match="feet_air_time"):
+        rew_mod.active_terms(cfg)

@@ -39,10 +39,19 @@ def _rollout():
 def test_matches_golden_trajectory():
     z = np.load(GOLDEN)
     pos, q, rew = _rollout()
-    # loose tolerances: platform/fusion differences accumulate over 100 steps
-    np.testing.assert_allclose(pos, z["base_pos"], atol=5e-2)
-    np.testing.assert_allclose(q, z["q"], atol=1e-1)
-    np.testing.assert_allclose(rew, z["rew"], atol=1e-2)
+    # Tiered tolerances.  The test harness pins the CPU backend (conftest),
+    # where the rollout is currently bit-exact vs the golden file; the
+    # early-snapshot tier is tight enough to catch any real physics drift,
+    # while the late tier leaves room for chaotic amplification of
+    # fusion-level numeric changes across XLA releases.
+    early = slice(0, 5)   # snapshots at steps 10..50
+    late = slice(5, None)  # snapshots at steps 60..100
+    np.testing.assert_allclose(pos[early], z["base_pos"][early], atol=1e-5)
+    np.testing.assert_allclose(q[early], z["q"][early], atol=1e-5)
+    np.testing.assert_allclose(rew[early], z["rew"][early], atol=1e-6)
+    np.testing.assert_allclose(pos[late], z["base_pos"][late], atol=2e-3)
+    np.testing.assert_allclose(q[late], z["q"][late], atol=5e-3)
+    np.testing.assert_allclose(rew[late], z["rew"][late], atol=1e-3)
 
 
 if __name__ == "__main__":

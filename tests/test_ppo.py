@@ -129,3 +129,29 @@ def test_rma_variant_train_iteration():
     es, obs, ts, m = it(es, obs, ts)
     assert np.isfinite(float(m["value_loss"]))
     assert np.isfinite(float(m["adaptation_loss"]))
+
+
+def test_runner_curriculum_dump(tmp_path):
+    """Runner.learn drains the on-device per-bin accumulators into
+    curriculum/distribution_*.npz artifacts (the reference's
+    curriculum/distribution.pkl analog, ppo_cse/__init__.py:193-202)."""
+    from walk_these_ways_tpu.go1_config import small_train_cfg
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+    from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
+
+    cfg = small_train_cfg(num_envs=8)
+    env = LeggedRobotEnv(cfg)
+    runner = Runner(env, log_dir=str(tmp_path),
+                    args=RunnerArgs(num_steps_per_env=4, max_iterations=2,
+                                    log_freq=2, save_interval=1000,
+                                    curriculum_dump_freq=2))
+    runner.learn(num_learning_iterations=2)
+    import glob
+    files = glob.glob(str(tmp_path / "curriculum" / "distribution_*.npz"))
+    assert files, "no curriculum distribution artifact written"
+    d = np.load(files[0])
+    C, B = d["weights"].shape
+    assert d["grid"].shape == (B, 15)
+    assert d["bin_task_reward_means"].shape == (C, B, 4)
+    assert d["bin_episode_counts"].shape == (C, B)
+    assert np.isfinite(d["bin_task_reward_means"]).all()

@@ -60,7 +60,16 @@ class CurriculumGrid(NamedTuple):
 
 
 class CurriculumState(NamedTuple):
-    weights: jnp.ndarray    # (C, B) in [0, 1]
+    weights: jnp.ndarray        # (C, B) in [0, 1]
+    # On-device per-bin diagnostics — the TPU-native replacement for the
+    # reference's host-side SlotCache running means and the
+    # extras["curriculum/distribution"] pickle (reference:
+    # go1_gym_learn/ppo/metrics_caches.py:49-78, legged_robot.py:229-232,
+    # ppo_cse/__init__.py:193-202).  Monotonic accumulators; the runner
+    # drains window deltas at log_freq, so no reset pass is needed on
+    # device.
+    bin_task_sums: jnp.ndarray  # (C, B, len(TASK_KEYS)) summed ep means
+    bin_ep_counts: jnp.ndarray  # (C, B) episodes scored per bin
 
 
 def make_grid(cfg: CommandsCfg) -> CurriculumGrid:
@@ -91,7 +100,12 @@ def init_state(cfg: CommandsCfg, grid: CurriculumGrid,
     hi = np.array(cfg.ranges_high)
     inside = ((grid.grid >= lo[None, :]) & (grid.grid <= hi[None, :])).all(axis=-1)
     w = np.tile(inside.astype(np.float32)[None, :], (num_categories, 1))
-    return CurriculumState(weights=jnp.asarray(w))
+    B = grid.num_bins
+    return CurriculumState(
+        weights=jnp.asarray(w),
+        bin_task_sums=jnp.zeros((num_categories, B, len(TASK_KEYS))),
+        bin_ep_counts=jnp.zeros((num_categories, B)),
+    )
 
 
 def update(
@@ -115,7 +129,15 @@ def update(
     direct = (counts > 0).astype(jnp.float32)              # +0.2 once per bin
     adj = counts @ jnp.asarray(grid.adjacency)             # +0.2 per successful env
     new_w = jnp.clip(state.weights + 0.2 * direct + 0.2 * adj, 0.0, 1.0)
-    return CurriculumState(weights=new_w)
+    # per-bin diagnostics: every scored episode contributes its task-reward
+    # means and a count to its bin (SlotCache.log semantics, on device)
+    um = update_mask.astype(jnp.float32)
+    task_sums = state.bin_task_sums.reshape(C * B, -1).at[flat_idx].add(
+        task_reward_means * um[:, None]).reshape(C, B, -1)
+    ep_counts = state.bin_ep_counts.reshape(C * B).at[flat_idx].add(
+        um).reshape(C, B)
+    return CurriculumState(weights=new_w, bin_task_sums=task_sums,
+                           bin_ep_counts=ep_counts)
 
 
 def sample(

@@ -253,10 +253,19 @@ TERMS = {
 
 
 def active_terms(cfg: Cfg):
-    """Nonzero-scale terms that exist in the container, in declaration order
-    (mirrors _prepare_reward_function, legged_robot.py:1385-1412)."""
+    """Nonzero-scale terms, in declaration order (mirrors
+    _prepare_reward_function, legged_robot.py:1385-1412).  The reference
+    warns on a nonzero scale with no _reward_<name> implementation; here
+    that is a hard error so a typo'd or unimplemented term cannot silently
+    train as a no-op."""
     names = []
     for name, scale in cfg.reward_scales.items():
-        if scale != 0.0 and name != "termination" and name in TERMS:
-            names.append(name)
+        if scale == 0.0 or name == "termination":
+            continue
+        if name not in TERMS:
+            raise NotImplementedError(
+                f"reward '{name}' has nonzero scale {scale} but no "
+                f"implementation in rewards.TERMS (available: "
+                f"{sorted(TERMS)})")
+        names.append(name)
     return tuple(names)

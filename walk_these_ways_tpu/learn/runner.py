@@ -35,6 +35,9 @@ class RunnerArgs:
     log_freq: int = 10
     resume: bool = False
     resume_path: Optional[str] = None
+    # curriculum weight-grid + per-bin reward-mean dump cadence (reference
+    # curriculum_dump_freq=500, ppo_cse/__init__.py:107,193-202)
+    curriculum_dump_freq: int = 500
     # render a short student-policy rollout every N iterations (0 = off);
     # analog of the reference's save_video_interval camera capture
     render_interval: int = 0
@@ -124,6 +127,9 @@ class Runner:
                       f"aloss {row.get('adaptation_loss', 0):.5f} | "
                       f"env-steps/s {steps_s:,.0f}", flush=True)
 
+            if (it + 1) % self.args.curriculum_dump_freq == 0:
+                self.dump_curriculum(it + 1)
+
             if (it + 1) % self.args.save_interval == 0:
                 self.save(os.path.join(self.log_dir, "checkpoints",
                                        f"train_state_{it+1:06d}.pkl"))
@@ -137,6 +143,36 @@ class Runner:
                                "train_state_last.pkl"))
         self.export_policy(os.path.join(self.log_dir, "checkpoints"))
         return self.train_state
+
+    def dump_curriculum(self, it: int):
+        """Dump the curriculum weight grids and per-bin episode task-reward
+        means (window since the previous dump) — the TPU-native analog of
+        the reference's curriculum/distribution.pkl + curriculum/info.pkl
+        appends (ppo_cse/__init__.py:193-202, legged_robot.py:229-232).
+        The accumulators live on device as monotonic sums inside
+        CurriculumState; this drains deltas so the hot loop never resets
+        them."""
+        cur = jax.device_get(self.env_state.curriculum)
+        if not hasattr(self, "_prev_bin_sums"):
+            self._prev_bin_sums = np.zeros_like(cur.bin_task_sums)
+            self._prev_bin_counts = np.zeros_like(cur.bin_ep_counts)
+        d_sums = cur.bin_task_sums - self._prev_bin_sums
+        d_counts = cur.bin_ep_counts - self._prev_bin_counts
+        self._prev_bin_sums = np.asarray(cur.bin_task_sums)
+        self._prev_bin_counts = np.asarray(cur.bin_ep_counts)
+        means = d_sums / np.maximum(d_counts, 1.0)[..., None]
+        out_dir = os.path.join(self.log_dir, "curriculum")
+        os.makedirs(out_dir, exist_ok=True)
+        np.savez(
+            os.path.join(out_dir, f"distribution_{it:06d}.npz"),
+            iteration=np.asarray(it),
+            weights=np.asarray(cur.weights),
+            grid=self.env.curr_grid.grid,
+            bin_task_reward_means=means,
+            bin_episode_counts=d_counts,
+            task_keys=np.asarray(curr.TASK_KEYS),
+            categories=np.asarray(curr.CATEGORY_NAMES),
+        )
 
     def log_video(self, it: int):
         """Render env 0 of the live training env under the current student
