@@ -1,81 +1,114 @@
-"""Pallas contact kernel vs the XLA reference loop (interpret mode on CPU)."""
+"""Pallas contact pipeline parity vs the XLA solver (interpret mode, CPU).
+
+The env-minor kernels in ops/pallas_contact.py must reproduce the XLA
+reference path in physics/engine.py exactly (same math, same iteration
+count): cache build (J, Lam) and the full substep (gaps, targets, PGS
+iterations, impulse apply, point advance).
+"""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from walk_these_ways_tpu.ops.pallas_contact import contact_solve_pallas
+from walk_these_ways_tpu.go1_config import GO1_DEFAULT_JOINT_ANGLES
+from walk_these_ways_tpu.models.robot import default_dof_pos, go1
+from walk_these_ways_tpu.ops import pallas_contact as pc
+from walk_these_ways_tpu.physics import engine as eng
 
 
-def _xla_reference(J, MinvJT_p, Lam, n_srf, target_n, mu, active, gen_vel,
-                   num_iters, relaxation):
-    N, P, _, nv = J.shape
-    lam = jnp.zeros((N, P, 3))
-
-    def iter_body(_, carry):
-        lam, gv = carry
-        v = jnp.einsum("npiv,nv->npi", J, gv)
-        dv_des = target_n[..., None] * n_srf - v
-        dlam = relaxation * jnp.einsum("npij,npj->npi", Lam, dv_des)
-        new_lam = lam + dlam
-        ln = jnp.einsum("npi,npi->np", new_lam, n_srf)
-        lt = new_lam - ln[..., None] * n_srf
-        ln = jnp.maximum(ln, 0.0)
-        lt_norm = jnp.linalg.norm(lt, axis=-1)
-        max_t = mu * ln
-        scale = jnp.where(lt_norm > max_t, max_t / jnp.maximum(lt_norm, 1e-9),
-                          1.0)
-        new_lam = ln[..., None] * n_srf + lt * scale[..., None]
-        new_lam = jnp.where(active[..., None], new_lam, 0.0)
-        gv = gv + jnp.einsum("npvi,npi->nv", MinvJT_p, new_lam - lam)
-        return new_lam, gv
-
-    lam, gv = jax.lax.fori_loop(0, num_iters, iter_body, (lam, gen_vel))
-    return gv, lam
+def _contact_state(n):
+    model = go1()
+    ddp = default_dof_pos(model, dict(GO1_DEFAULT_JOINT_ANGLES))
+    rng = np.random.RandomState(11)
+    return model, eng.PhysicsState(
+        base_pos=jnp.asarray(
+            np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                      rng.uniform(0.18, 0.32, n)], -1).astype(np.float32)),
+        base_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (n, 1)),
+        base_lin_vel=jnp.asarray(0.4 * rng.randn(n, 3).astype(np.float32)),
+        base_ang_vel=jnp.asarray(0.4 * rng.randn(n, 3).astype(np.float32)),
+        q=jnp.tile(ddp, (n, 1)) + 0.1 * rng.randn(n, 12).astype(np.float32),
+        qd=jnp.asarray(1.0 * rng.randn(n, 12).astype(np.float32)),
+    )
 
 
-def test_pallas_matches_xla_reference():
-    rng = np.random.RandomState(0)
-    N, P, nv = 24, 28, 18
-    J = jnp.asarray(rng.randn(N, P, 3, nv) * 0.5, jnp.float32)
-    A = rng.randn(N, nv, nv) * 0.1
-    Minv_like = jnp.asarray(
-        np.einsum("nij,nkj->nik", A, A) + 0.05 * np.eye(nv), jnp.float32)
-    MinvJT_p = jnp.einsum("nvw,npiw->npvi", Minv_like, J)
-    W = jnp.einsum("npiv,npvj->npij", J, MinvJT_p) + 0.5 * jnp.eye(3)
-    Lam = jnp.linalg.inv(W)
-    n_srf = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (N, P, 1))
-    target_n = jnp.asarray(np.abs(rng.randn(N, P)) * 0.2, jnp.float32)
-    mu = jnp.full((N, P), 0.8, jnp.float32)
-    active = jnp.asarray(rng.rand(N, P) < 0.5)
-    gen_vel = jnp.asarray(rng.randn(N, nv), jnp.float32)
-
-    gv_ref, lam_ref = _xla_reference(J, MinvJT_p, Lam, n_srf, target_n, mu,
-                                     active, gen_vel, 8, 0.4)
-    gv_pal, lam_pal = contact_solve_pallas(J, MinvJT_p, Lam, n_srf, target_n,
-                                           mu, active, gen_vel, 8, 0.4,
-                                           block=8, interpret=True)
-    np.testing.assert_allclose(np.asarray(gv_pal), np.asarray(gv_ref),
-                               rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(lam_pal), np.asarray(lam_ref),
+def test_cache_kernel_matches_xla():
+    n = 8
+    model, state = _contact_state(n)
+    dyn = eng.identity_dynamics_params(n)
+    xla_params = eng.SimParams()
+    pal_params = dataclasses.replace(xla_params, use_pallas_contact=True)
+    c_x = eng.build_dynamics_cache(model, xla_params, state, dyn)
+    c_p = eng.build_dynamics_cache(model, pal_params, state, dyn)
+    J_t, Lam_t, Minv_t, rh_t, mu_t, e_t, p_cp_t, block = c_p.pallas_ops
+    P = model.cp_body.shape[0]
+    J_back = pc.from_env_minor(
+        jnp.transpose(J_t, (0, 1, 2, 3)), n)        # (n, P, 3, nv)
+    np.testing.assert_allclose(np.asarray(J_back), np.asarray(c_x.J),
+                               rtol=1e-5, atol=1e-5)
+    Lam_back = pc.from_env_minor(Lam_t, n).reshape(n, P, 3, 3)
+    np.testing.assert_allclose(np.asarray(Lam_back), np.asarray(c_x.Lam),
                                rtol=2e-4, atol=2e-4)
 
 
-def test_pallas_padding():
-    """N not divisible by block exercises the padding path."""
-    rng = np.random.RandomState(1)
-    N, P, nv = 11, 28, 18
-    J = jnp.asarray(rng.randn(N, P, 3, nv) * 0.3, jnp.float32)
-    MinvJT_p = jnp.asarray(rng.randn(N, P, nv, 3) * 0.1, jnp.float32)
-    Lam = jnp.tile(jnp.eye(3, dtype=jnp.float32), (N, P, 1, 1))
-    n_srf = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (N, P, 1))
-    target_n = jnp.zeros((N, P), jnp.float32)
-    mu = jnp.ones((N, P), jnp.float32)
-    active = jnp.ones((N, P), bool)
-    gen_vel = jnp.asarray(rng.randn(N, nv), jnp.float32)
-    gv_ref, lam_ref = _xla_reference(J, MinvJT_p, Lam, n_srf, target_n, mu,
-                                     active, gen_vel, 4, 0.4)
-    gv_pal, lam_pal = contact_solve_pallas(J, MinvJT_p, Lam, n_srf, target_n,
-                                           mu, active, gen_vel, 4, 0.4,
-                                           block=8, interpret=True)
-    np.testing.assert_allclose(np.asarray(gv_pal), np.asarray(gv_ref),
-                               rtol=2e-4, atol=2e-4)
+def test_substep_kernel_matches_xla():
+    n = 8
+    model, state = _contact_state(n)
+    dyn = eng.identity_dynamics_params(n)._replace(
+        friction=jnp.asarray(np.random.RandomState(3).uniform(0.3, 2.0, n)
+                             .astype(np.float32)),
+        restitution=jnp.asarray(np.random.RandomState(4).uniform(0, 0.4, n)
+                                .astype(np.float32)))
+    terr = eng.flat_terrain()
+    tau = jnp.asarray(
+        5.0 * np.random.RandomState(5).randn(n, 12).astype(np.float32))
+
+    xla_params = eng.SimParams()
+    pal_params = dataclasses.replace(xla_params, use_pallas_contact=True)
+    c_x = eng.build_dynamics_cache(model, xla_params, state, dyn)
+    c_p = eng.build_dynamics_cache(model, pal_params, state, dyn)
+
+    s_x, cinfo_x, pcp_x = eng.physics_substep_cached(
+        model, xla_params, state, tau, dyn, terr, c_x)
+    s_p, lam_t, pcp_t = eng.physics_substep_cached(
+        model, pal_params, state, tau, dyn, terr, c_p)
+
+    for a, b in zip(s_x, s_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=2e-4)
+    cinfo_p = eng.contact_report_from_lam_t(model, lam_t, xla_params.dt, n)
+    np.testing.assert_allclose(np.asarray(cinfo_p.report_forces),
+                               np.asarray(cinfo_x.report_forces),
+                               rtol=1e-3, atol=0.5)
+    # carried point estimates agree (XLA advances with clamped velocities,
+    # the kernel with pre-clamp ones — inactive clamps => equal)
+    np.testing.assert_allclose(np.asarray(pc.from_env_minor(pcp_t, n)),
+                               np.asarray(pcp_x), rtol=1e-4, atol=1e-4)
+
+
+def test_env_step_pallas_matches_xla():
+    """Full env.step parity: pallas config vs default reuse config."""
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+    from walk_these_ways_tpu.go1_config import mob_train_cfg
+
+    n = 8
+    cfg = mob_train_cfg(num_envs=n)
+    cfg_p = dataclasses.replace(
+        cfg, sim=dataclasses.replace(cfg.sim, use_pallas_contact=True))
+    env_x = LeggedRobotEnv(cfg)
+    env_p = LeggedRobotEnv(cfg_p)
+    assert env_p.sim_params.use_pallas_contact
+
+    sx, ox = env_x.reset(jax.random.PRNGKey(0))
+    sp, op = env_p.reset(jax.random.PRNGKey(0))
+    actions = jnp.asarray(
+        0.3 * np.random.RandomState(9).randn(n, 12).astype(np.float32))
+    for _ in range(5):
+        sx, ox, rx, dx, ix = env_x.step(sx, actions)
+        sp, op, rp, dp, ip = env_p.step(sp, actions)
+    np.testing.assert_allclose(np.asarray(sp.phys.base_pos),
+                               np.asarray(sx.phys.base_pos), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sp.phys.q),
+                               np.asarray(sx.phys.q), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(rx), atol=2e-2)

@@ -147,14 +147,87 @@ def test_cached_substep_matches_exact():
     s_cached = state
     for ctrl in range(5):          # 5 control steps of 4 substeps
         cache = eng.build_dynamics_cache(model, params, s_cached, dyn)
+        p_cp = cache.p_cp
         for _ in range(4):
             tau_e = 20.0 * (jnp.tile(ddp, (n, 1)) - s_exact.q) - 0.5 * s_exact.qd
             s_exact, _ = eng.physics_substep(model, params, s_exact, tau_e,
                                              dyn, terr)
             tau_c = 20.0 * (jnp.tile(ddp, (n, 1)) - s_cached.q) - 0.5 * s_cached.qd
-            s_cached, _ = eng.physics_substep_cached(
-                model, params, s_cached, tau_c, dyn, terr, cache)
+            s_cached, _, p_cp = eng.physics_substep_cached(
+                model, params, s_cached, tau_c, dyn, terr, cache, p_cp)
     np.testing.assert_allclose(np.asarray(s_cached.base_pos),
                                np.asarray(s_exact.base_pos), atol=0.02)
     np.testing.assert_allclose(np.asarray(s_cached.q),
                                np.asarray(s_exact.q), atol=0.05)
+
+
+def test_velocity_integrated_contact_points_track_fk():
+    """Reuse mode advances contact points by p' = p + dt J qd instead of
+    re-running FK (engine.physics_substep_cached); over one 4-substep
+    control step the estimate must stay within the same O(dt^2) error
+    budget as the matrix-reuse approximation itself."""
+    import jax
+    from walk_these_ways_tpu.models.robot import go1, default_dof_pos
+    from walk_these_ways_tpu.go1_config import GO1_DEFAULT_JOINT_ANGLES
+
+    model = go1()
+    ddp = default_dof_pos(model, dict(GO1_DEFAULT_JOINT_ANGLES))
+    n = 4
+    rng = np.random.RandomState(5)
+    state = eng.PhysicsState(
+        base_pos=jnp.asarray([[0.0, 0.0, 0.4]] * n),
+        base_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (n, 1)),
+        base_lin_vel=jnp.asarray(0.5 * rng.randn(n, 3).astype(np.float32)),
+        base_ang_vel=jnp.asarray(0.5 * rng.randn(n, 3).astype(np.float32)),
+        q=jnp.tile(ddp, (n, 1)) + 0.1 * rng.randn(n, 12).astype(np.float32),
+        qd=jnp.asarray(2.0 * rng.randn(n, 12).astype(np.float32)),
+    )
+    params = eng.SimParams()
+    dyn = eng.identity_dynamics_params(n)
+    terr = eng.flat_terrain()
+    cache = eng.build_dynamics_cache(model, params, state, dyn)
+    p_cp = cache.p_cp
+
+    # anchor: estimate equals exact FK contact positions
+    def fk_cp(st):
+        frames = eng.forward_kinematics(model, st)
+        cp_onehot = jnp.asarray(
+            np.eye(model.nb, dtype=np.float32)[model.cp_body])
+        Rb = jnp.einsum("pb,nbij->npij", cp_onehot, frames.R)
+        pb = jnp.einsum("pb,nbi->npi", cp_onehot, frames.p)
+        return pb + jnp.einsum(
+            "npij,pj->npi", Rb, jnp.asarray(model.cp_offset, jnp.float32))
+
+    np.testing.assert_allclose(np.asarray(p_cp), np.asarray(fk_cp(state)),
+                               atol=1e-5)
+
+    tau = jnp.zeros((n, 12))
+    for _ in range(4):
+        state, _, p_cp = eng.physics_substep_cached(
+            model, params, state, tau, dyn, terr, cache, p_cp)
+    err = np.abs(np.asarray(p_cp) - np.asarray(fk_cp(state))).max()
+    assert err < 5e-3, f"contact point drift {err} m over one control step"
+
+
+def test_foot_state_from_cache_matches_fk_at_anchor():
+    from walk_these_ways_tpu.models.robot import go1, default_dof_pos
+    from walk_these_ways_tpu.go1_config import GO1_DEFAULT_JOINT_ANGLES
+
+    model = go1()
+    ddp = default_dof_pos(model, dict(GO1_DEFAULT_JOINT_ANGLES))
+    n = 3
+    rng = np.random.RandomState(7)
+    state = eng.PhysicsState(
+        base_pos=jnp.asarray(rng.randn(n, 3).astype(np.float32) + [0, 0, 3]),
+        base_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (n, 1)),
+        base_lin_vel=jnp.asarray(rng.randn(n, 3).astype(np.float32)),
+        base_ang_vel=jnp.asarray(rng.randn(n, 3).astype(np.float32)),
+        q=jnp.tile(ddp, (n, 1)) + 0.2 * rng.randn(n, 12).astype(np.float32),
+        qd=jnp.asarray(rng.randn(n, 12).astype(np.float32)),
+    )
+    dyn = eng.identity_dynamics_params(n)
+    cache = eng.build_dynamics_cache(model, eng.SimParams(), state, dyn)
+    p_c, v_c = eng.foot_state_from_cache(model, cache, state, cache.p_cp)
+    p_fk, v_fk = eng.foot_positions_velocities(model, state)
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_fk), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_fk), atol=1e-4)

@@ -371,6 +371,10 @@ class SimCfg:
     # reuse mass matrix / contact factorizations across the decimation
     # substeps of one control step (speed knob; ~cm-scale geometric lag)
     reuse_matrices: bool = False
+    # env-minor Pallas contact pipeline (ops/pallas_contact.py) — requires
+    # reuse_matrices and a flat-ground terrain (the MoB train config);
+    # heightfield configs fall back to the XLA solver automatically
+    use_pallas_contact: bool = False
 
 
 @dataclass(frozen=True)

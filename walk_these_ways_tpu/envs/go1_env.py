@@ -124,8 +124,6 @@ class LeggedRobotEnv:
         self.dt = cfg.dt
         self.max_episode_length = cfg.max_episode_length
 
-        self.sim_params = engine.SimParams(
-            dt=cfg.sim.dt, num_contact_iters=cfg.sim.num_contact_iters)
         self.reuse_matrices = cfg.sim.reuse_matrices
 
         # terrain ---------------------------------------------------------
@@ -148,6 +146,15 @@ class LeggedRobotEnv:
             self.terrain = engine.flat_terrain()
             origins = terrain_mod.grid_env_origins(self.num_envs)
         self.env_origins = jnp.asarray(origins)
+
+        # the Pallas contact pipeline is specialized to flat ground (the
+        # MoB train config resolves to the flat fast path); heightfield
+        # terrains use the XLA solver
+        flat_ground = self.terrain.height.shape == (2, 2)
+        self.sim_params = engine.SimParams(
+            dt=cfg.sim.dt, num_contact_iters=cfg.sim.num_contact_iters,
+            use_pallas_contact=(cfg.sim.use_pallas_contact
+                                and cfg.sim.reuse_matrices and flat_ground))
 
         # constants -------------------------------------------------------
         self.default_dof_pos = default_dof_pos(
@@ -564,19 +571,50 @@ class LeggedRobotEnv:
             gravity=jnp.tile(gravity[None, :], (N, 1)),
         )
 
-        if cfg.sim.reuse_matrices:
+        if cfg.sim.reuse_matrices and self.sim_params.use_pallas_contact:
+            cache = engine.build_dynamics_cache(
+                m, self.sim_params, state.phys, dyn)
+            p_cp0_t = cache.pallas_ops[6]
+
+            def substep(carry, _):
+                st, p_cp_t, _, lam_prev = carry
+                tau, target, lag, hist = self._compute_torques(st)
+                phys2, lam_t, p_cp_new_t = engine.physics_substep_cached(
+                    m, self.sim_params, st.phys, tau, dyn, self.terrain,
+                    cache, p_cp_t)
+                st = st._replace(phys=phys2, torques=tau,
+                                 joint_pos_target=target, lag_buffer=lag,
+                                 **hist)
+                return (st, p_cp_new_t, p_cp_t, lam_t), None
+
+            lam0 = jnp.zeros_like(p_cp0_t)
+            (state, p_cp_t, p_cp_prev_t, lam_t), _ = jax.lax.scan(
+                substep, (state, p_cp0_t, p_cp0_t, lam0), None,
+                length=cfg.control.decimation)
+            # forces + foot state materialized once from the last substep
+            cinfo_last = engine.contact_report_from_lam_t(
+                m, lam_t, self.sim_params.dt, N)
+            pallas_foot = engine.foot_state_from_pcp_t(
+                m, p_cp_t, p_cp_prev_t, self.sim_params.dt, N)
+            p_cp_final = None
+        elif cfg.sim.reuse_matrices:
             cache = engine.build_dynamics_cache(
                 m, self.sim_params, state.phys, dyn)
 
             def substep(carry, _):
-                st = carry
+                st, p_cp = carry
                 tau, target, lag, hist = self._compute_torques(st)
-                phys2, cinfo = engine.physics_substep_cached(
-                    m, self.sim_params, st.phys, tau, dyn, self.terrain, cache)
+                phys2, cinfo, p_cp = engine.physics_substep_cached(
+                    m, self.sim_params, st.phys, tau, dyn, self.terrain,
+                    cache, p_cp)
                 st = st._replace(phys=phys2, torques=tau,
                                  joint_pos_target=target, lag_buffer=lag,
                                  **hist)
-                return st, cinfo
+                return (st, p_cp), cinfo
+
+            (state, p_cp_final), cinfos = jax.lax.scan(
+                substep, (state, cache.p_cp), None,
+                length=cfg.control.decimation)
         else:
             def substep(carry, _):
                 st = carry
@@ -588,9 +626,13 @@ class LeggedRobotEnv:
                                  **hist)
                 return st, cinfo
 
-        state, cinfos = jax.lax.scan(substep, state, None,
-                                     length=cfg.control.decimation)
-        contact_forces = jax.tree.map(lambda x: x[-1], cinfos).report_forces
+            state, cinfos = jax.lax.scan(substep, state, None,
+                                         length=cfg.control.decimation)
+            p_cp_final = None
+        if self.sim_params.use_pallas_contact:
+            contact_forces = cinfo_last.report_forces
+        else:
+            contact_forces = jax.tree.map(lambda x: x[-1], cinfos).report_forces
 
         # 3. kinematic quantities (legged_robot.py:102-115)
         phys = state.phys
@@ -601,7 +643,16 @@ class LeggedRobotEnv:
         gravity_unit = gravity / jnp.linalg.norm(gravity)
         gravity_vec = jnp.tile(gravity_unit[None, :], (N, 1))
         projected_gravity = qops.quat_rotate_inverse(phys.base_quat, gravity_vec)
-        foot_positions, foot_velocities = engine.foot_positions_velocities(m, phys)
+        if self.sim_params.use_pallas_contact:
+            foot_positions, foot_velocities = pallas_foot
+        elif cfg.sim.reuse_matrices:
+            # reuse mode: feet from the carried contact-point estimate and
+            # cached Jacobians — no extra FK/twist pass
+            foot_positions, foot_velocities = engine.foot_state_from_cache(
+                m, cache, phys, p_cp_final)
+        else:
+            foot_positions, foot_velocities = \
+                engine.foot_positions_velocities(m, phys)
 
         # 4. teleport (legged_robot.py:1028-1051)
         if cfg.terrain.teleport_robots and cfg.terrain.mesh_type in (

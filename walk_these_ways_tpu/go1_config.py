@@ -87,7 +87,10 @@ def mob_train_cfg(num_envs: int = 4000) -> Cfg:
     from .config import SimCfg
     cfg = replace(
         cfg,
-        sim=replace(cfg.sim, reuse_matrices=True),
+        # matrix reuse + the env-minor Pallas contact pipeline (validated
+        # for learning parity; see runs/validate_pallas and
+        # tests/test_pallas_contact.py)
+        sim=replace(cfg.sim, reuse_matrices=True, use_pallas_contact=True),
         curriculum_thresholds=CurriculumThresholds(
             tracking_lin_vel=0.8, tracking_ang_vel=0.7,
             tracking_contacts_shaped_vel=0.90, tracking_contacts_shaped_force=0.90,

@@ -1,30 +1,37 @@
-"""Pallas TPU kernel for the contact impulse solve.
+"""Pallas TPU kernels for the whole contact pipeline, env-minor layout.
 
-The projected-Jacobi iteration in physics/engine.py:_contact_solve re-reads
-the (N, P, 3, nv) contact Jacobian and (N, P, nv, 3) M^-1 J^T from HBM on
-every one of its 16 iterations — ~0.8 GB of HBM traffic per substep at
-N=4096.  This kernel runs the whole iteration loop inside VMEM with the env
-batch on the lane dimension (env-minor layout): every elementwise op and
-reduction is perfectly lane-packed, and J/MinvJT are loaded exactly once.
+Round-2 profiling showed the contact pipeline dominating the train
+iteration NOT through FLOPs but through layout: XLA keeps the
+(N, P, 3, nv) Jacobian tensors N-major, so their size-3/size-18 minor dims
+tile onto the 128-lane axis with up to 42x padding — every cache-build
+einsum and every one of the 16 solver iterations pays that HBM tax, plus
+layout copies between einsums (measured ~108 ms of a 350 ms iteration at
+N=4000).
 
-Layouts (kernel-side, env-minor):
-    J        (P3, nv, B)    contact Jacobian rows
-    MinvJT   (nv, P3, B)
-    Lam      (P, 9, B)      3x3 effective-mass blocks, row-major flattened
-    n_srf    (P, 3, B)      contact normals
-    target_n (P, B)         normal velocity targets
-    mu       (B,)           friction coefficient (broadcast over points)
-    active   (P, B)         contact mask
-    gv       (nv, B)        generalized velocity (in/out)
-    lam_out  (P, 3, B)      impulses (out)
+These kernels put the env batch on the lane axis (env-minor `(..., N)`
+layout) so every tensor is perfectly lane-packed, and run the whole
+pipeline in VMEM:
 
-B (env block) = 256 keeps J + MinvJT (double-buffered by the
-pipeline) + scratch under the 16 MB VMEM budget.
-The grid is (N // B,) over env blocks; each program is independent.
+- `contact_cache_kernel` (once per control step): builds the point
+  Jacobians J[p,i,v] = anc[p,v] * (Sv[v,i] + Sw[v] x r[p]) and the 3x3
+  effective-mass inverses Lam_p = (J_p M^-1 J_p^T + eps)^-1 from the
+  twist bases and M^-1 of the dynamics cache
+  (physics/engine.py:build_dynamics_cache).
+- `contact_substep_kernel` (once per physics substep): computes contact
+  gaps from the carried contact-point estimate (flat ground: phi =
+  radius - z + h0), velocity targets (restitution bounce + capped
+  Baumgarte bias, engine.py:_contact_solve), runs `num_iters` projected-
+  Jacobi iterations with the friction-cone projection specialized to the
+  n = +z normal, applies impulses lazily as M^-1 (J^T dlam) (no MinvJT
+  buffer), and advances the contact points p' = p + dt * J gv_new.
 
-The caller-side wrapper transposes from the engine's (N, ...) layout, pads
-N to a multiple of B, and transposes results back; `interpret=True` makes
-the kernel runnable (and tested) on CPU.
+The flat-ground specialization matches the MoB train config (terrain
+mesh_type='boxes' tiles are all flat => engine.flat_terrain() fast path);
+heightfield configs fall back to the XLA solver in physics/engine.py.
+
+All kernels are exact reformulations of the XLA path (same math, same
+iteration count) — parity-tested in tests/test_pallas_contact.py against
+physics/engine.py on CPU (interpret mode).
 """
 from __future__ import annotations
 
@@ -36,135 +43,225 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _solve_kernel(J_ref, MinvJT_ref, Lam_ref, n_ref, tgt_ref, mu_ref,
-                  act_ref, gv_ref, gv_out_ref, lam_out_ref, *,
-                  num_iters: int, relaxation: float, P: int, nv: int):
-    J = J_ref[:]                 # (P3, nv, B)
-    MinvJT = MinvJT_ref[:]       # (nv, P3, B)
-    Lam = Lam_ref[:]             # (P, 9, B)
-    n = n_ref[:]                 # (P, 3, B)
-    tgt = tgt_ref[:]             # (P, B)
-    mu = mu_ref[:]               # (P, B)
-    act = act_ref[:]             # (P, B)
-    B = J.shape[-1]
-
-    def body(_, carry):
-        lam, gv = carry          # lam (P, 3, B), gv (nv, B)
-        # v[p3, b] = sum_k J[p3, k, b] * gv[k, b]
-        v = jnp.sum(J * gv[None, :, :], axis=1)            # (P3, B)
-        v = v.reshape(P, 3, B)
-        # desired delta: normal -> target, tangential -> 0
-        dv = tgt[:, None, :] * n - v                       # (P, 3, B)
-        # dlam[p, i] = relaxation * sum_j Lam[p, i, j] dv[p, j]
-        Lam33 = Lam.reshape(P, 3, 3, B)
-        dlam = relaxation * jnp.sum(Lam33 * dv[:, None, :, :], axis=2)
-        new_lam = lam + dlam
-        ln = jnp.sum(new_lam * n, axis=1)                  # (P, B)
-        lt = new_lam - ln[:, None, :] * n
-        ln = jnp.maximum(ln, 0.0)
-        lt_norm = jnp.sqrt(jnp.sum(lt * lt, axis=1) + 1e-18)
-        max_t = mu * ln
-        scale = jnp.where(lt_norm > max_t, max_t / lt_norm, 1.0)
-        new_lam = ln[:, None, :] * n + lt * scale[:, None, :]
-        new_lam = jnp.where(act[:, None, :] > 0, new_lam, 0.0)
-        applied = (new_lam - lam).reshape(P * 3, B)        # (P3, B)
-        # gv[k] += sum_p3 MinvJT[k, p3] * applied[p3]
-        gv = gv + jnp.sum(MinvJT * applied[None, :, :], axis=1)
-        return new_lam, gv
-
-    lam0 = jnp.zeros((P, 3, B), J.dtype)
-    lam, gv = jax.lax.fori_loop(0, num_iters, body, (lam0, gv_ref[:]))
-    gv_out_ref[:] = gv
-    lam_out_ref[:] = lam
+# -- env-minor transpose helpers --------------------------------------------
 
 
-def prepare_big_operands(J, MinvJT_p, Lam, block: int = 256):
-    """Pre-transpose the large per-control-step operands to env-minor layout.
-    Call once per dynamics cache build; the per-substep solve then only
-    transposes the small arrays."""
-    N, P, _, nv = J.shape
-    B = min(block, max(N, 8))
-    Npad = ((N + B - 1) // B) * B
-    pad = Npad - N
-
-    def prep(x, perm, shape):
-        x = jnp.transpose(x, perm)
-        if pad:
-            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-        return x.reshape(shape)
-
-    Jt = prep(J.reshape(N, P * 3, nv), (1, 2, 0), (P * 3, nv, Npad))
-    Mt = prep(MinvJT_p.transpose(0, 2, 1, 3).reshape(N, nv, P * 3),
-              (1, 2, 0), (nv, P * 3, Npad))
-    Lt = prep(Lam.reshape(N, P, 9), (1, 2, 0), (P, 9, Npad))
-    return (Jt, Mt, Lt, N, P, nv, B)
+def to_env_minor(x, block: int):
+    """(N, ...) -> (..., Npad) with N padded to a multiple of `block`."""
+    N = x.shape[0]
+    Npad = ((N + block - 1) // block) * block
+    perm = tuple(range(1, x.ndim)) + (0,)
+    x = jnp.transpose(x, perm)
+    if Npad != N:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Npad - N)])
+    return x
 
 
-def contact_solve_pallas_prepped(ops, n_srf, target_n, mu, active, gen_vel,
-                                 num_iters: int, relaxation: float,
-                                 interpret: bool = False):
-    """Solve with pre-transposed big operands (see prepare_big_operands)."""
-    Jt, Mt, Lt, N, P, nv, B = ops
-    Npad = Jt.shape[-1]
-    pad = Npad - N
+def from_env_minor(x, N: int):
+    """(..., Npad) -> (N, ...)."""
+    perm = (x.ndim - 1,) + tuple(range(x.ndim - 1))
+    return jnp.transpose(x, perm)[:N]
 
-    def prep(x, perm, shape):
-        x = jnp.transpose(x, perm)
-        if pad:
-            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-        return x.reshape(shape)
 
-    nt = prep(n_srf, (1, 2, 0), (P, 3, Npad))
-    tt = prep(target_n, (1, 0), (P, Npad))
-    mt = prep(mu, (1, 0), (P, Npad))
-    at = prep(active.astype(Jt.dtype), (1, 0), (P, Npad))
-    gt = prep(gen_vel, (1, 0), (nv, Npad))
+def _spec(shape, block):
+    """BlockSpec tiling only the minor (env) axis."""
+    blk = shape[:-1] + (block,)
 
-    grid = (Npad // B,)
+    def idx(i, nd=len(shape)):
+        return (0,) * (nd - 1) + (i,)
 
-    def spec(shape):
-        ndim = len(shape)
-        blk = shape[:-1] + (B,)
-        idx = lambda i, _nd=ndim: (0,) * (_nd - 1) + (i,)
-        return pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    return pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_solve_kernel, num_iters=num_iters,
-                               relaxation=relaxation, P=P, nv=nv)
-    gv_out, lam_out = pl.pallas_call(
+
+# -- cache kernel: J and Lam ------------------------------------------------
+
+
+def _cache_kernel(anc_ref, sw_ref, sv_ref, minv_ref, r_ref,
+                  j_ref, lam_ref, *, P: int, nv: int, eps: float):
+    Sw = sw_ref[:]        # (nv, 3, B)
+    Sv = sv_ref[:]        # (nv, 3, B)
+    Minv = minv_ref[:]    # (nv, nv, B)
+    r = r_ref[:]          # (P, 3, B)
+    anc = anc_ref[:]      # (P, nv)
+    B = Sw.shape[-1]
+
+    # J[p, i, v, b] = anc[p, v] * (Sv[v, i, b] + (Sw[v] x r[p])[i, b])
+    # NOTE basic slices only, expand_dims after — mixing None with integer
+    # indices takes jnp's advanced-indexing path, which emits a >2D gather
+    # Mosaic cannot lower
+    sw0, sw1, sw2 = Sw[:, 0, :], Sw[:, 1, :], Sw[:, 2, :]     # (nv, B)
+    sv0, sv1, sv2 = Sv[:, 0, :], Sv[:, 1, :], Sv[:, 2, :]
+    r0, r1, r2 = r[:, 0, :], r[:, 1, :], r[:, 2, :]           # (P, B)
+    cx = sw1[None] * r2[:, None] - sw2[None] * r1[:, None]    # (P, nv, B)
+    cy = sw2[None] * r0[:, None] - sw0[None] * r2[:, None]
+    cz = sw0[None] * r1[:, None] - sw1[None] * r0[:, None]
+    m = anc[:, :, None]                                  # (P, nv, 1)
+    Jx = m * (sv0[None] + cx)
+    Jy = m * (sv1[None] + cy)
+    Jz = m * (sv2[None] + cz)
+    J = jnp.stack([Jx, Jy, Jz], axis=1)                  # (P, 3, nv, B)
+    j_ref[:] = J
+
+    # t[p, i, v] = sum_w J[p, i, w] Minv[w, v]   (M^-1 is symmetric)
+    t = jnp.zeros((P, 3, nv, B), J.dtype)
+    for w in range(nv):
+        t += J[:, :, w, :][:, :, None, :] * Minv[w][None, None, :, :]
+    # W[p, i, j] = sum_v J[p, j, v] t[p, i, v]
+    W = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for jc in range(3):
+            W[i][jc] = jnp.sum(J[:, jc] * t[:, i], axis=1)   # (P, B)
+    a, b, c = W[0][0] + eps, W[0][1], W[0][2]
+    d, e, f = W[1][0], W[1][1] + eps, W[1][2]
+    g, h, i9 = W[2][0], W[2][1], W[2][2] + eps
+    A = e * i9 - f * h
+    Bc = -(d * i9 - f * g)
+    C = d * h - e * g
+    D = -(b * i9 - c * h)
+    E = a * i9 - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    H = -(a * f - c * d)
+    I9 = a * e - b * d
+    det = a * A + b * Bc + c * C
+    inv_det = 1.0 / det
+    lam_ref[:] = jnp.stack(
+        [A, D, G, Bc, E, H, C, F, I9], axis=1) * inv_det[:, None, :]
+
+
+def build_contact_cache_pallas(anc, Sw_t, Sv_t, Minv_t, r_t,
+                               block: int = 256, eps: float = 1e-6,
+                               interpret: bool = False):
+    """anc (P, nv) static mask; Sw_t/Sv_t (nv, 3, Npad); Minv_t
+    (nv, nv, Npad); r_t (P, 3, Npad). Returns J_t (P, 3, nv, Npad),
+    Lam_t (P, 9, Npad)."""
+    nv = Sw_t.shape[0]
+    P = r_t.shape[0]
+    Npad = Sw_t.shape[-1]
+    grid = (Npad // block,)
+    anc_spec = pl.BlockSpec((P, nv), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_cache_kernel, P=P, nv=nv, eps=eps)
+    return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec(Jt.shape), spec(Mt.shape), spec(Lt.shape),
-                  spec(nt.shape), spec(tt.shape), spec(mt.shape),
-                  spec(at.shape), spec(gt.shape)],
-        out_specs=(spec((nv, Npad)), spec((P, 3, Npad))),
-        out_shape=(jax.ShapeDtypeStruct((nv, Npad), Jt.dtype),
-                   jax.ShapeDtypeStruct((P, 3, Npad), Jt.dtype)),
+        in_specs=[anc_spec, _spec(Sw_t.shape, block), _spec(Sv_t.shape, block),
+                  _spec(Minv_t.shape, block), _spec(r_t.shape, block)],
+        out_specs=(_spec((P, 3, nv, Npad), block),
+                   _spec((P, 9, Npad), block)),
+        out_shape=(jax.ShapeDtypeStruct((P, 3, nv, Npad), Sw_t.dtype),
+                   jax.ShapeDtypeStruct((P, 9, Npad), Sw_t.dtype)),
         interpret=interpret,
-    )(Jt, Mt, Lt, nt, tt, mt, at, gt)
-
-    gv_new = jnp.transpose(gv_out, (1, 0))[:N]
-    lam = jnp.transpose(lam_out, (2, 0, 1))[:N]
-    return gv_new, lam
+    )(anc, Sw_t, Sv_t, Minv_t, r_t)
 
 
-def contact_solve_pallas(J, MinvJT_p, Lam, n_srf, target_n, mu, active,
-                         gen_vel, num_iters: int, relaxation: float,
-                         block: int = 256, interpret: bool = False):
-    """Drop-in replacement for the engine's PGS loop.
+# -- substep kernel: targets + projected Jacobi + point advance -------------
 
-    Args (engine layouts):
-        J        (N, P, 3, nv)
-        MinvJT_p (N, P, nv, 3)
-        Lam      (N, P, 3, 3)
-        n_srf    (N, P, 3)
-        target_n (N, P)
-        mu       (N, P)
-        active   (N, P) bool
-        gen_vel  (N, nv)
-    Returns (gen_vel_new (N, nv), lam (N, P, 3)).
-    """
-    ops = prepare_big_operands(J, MinvJT_p, Lam, block)
-    return contact_solve_pallas_prepped(ops, n_srf, target_n, mu, active,
-                                        gen_vel, num_iters, relaxation,
-                                        interpret)
+
+def _substep_kernel(j_ref, lam33_ref, minv_ref, pcp_ref, gv_ref, rh_ref,
+                    mu_ref, e_ref, vlim_ref,
+                    gv_out_ref, pcp_out_ref, lam_out_ref, *,
+                    P: int, nv: int, num_iters: int, relaxation: float,
+                    dt: float, baumgarte: float, slop: float,
+                    max_depen: float, bounce_thresh: float):
+    J = j_ref[:]            # (P, 3, nv, B)
+    Lam = lam33_ref[:]      # (P, 9, B)
+    Minv = minv_ref[:]      # (nv, nv, B)
+    p_cp = pcp_ref[:]       # (P, 3, B)
+    gv0 = gv_ref[:]         # (nv, B)
+    rh = rh_ref[:]          # (P, B)  radius + h0 per point
+    mu = mu_ref[:]          # (1, B)
+    e = e_ref[:]            # (1, B)
+    vlim = vlim_ref[:]      # (nv, 1) velocity bounds (base caps + dof limits)
+    B = gv0.shape[-1]
+
+    def jdot(gv):
+        """(P, 3, B) contact point velocities."""
+        return jnp.sum(J * gv[None, None, :, :], axis=2)
+
+    # gaps and velocity targets (flat ground, n = +z)
+    phi = rh - p_cp[:, 2, :]                               # (P, B)
+    active = (phi > 0.0).astype(J.dtype)
+    v0 = jdot(gv0)
+    vn0 = v0[:, 2, :]
+    bounce = jnp.where(vn0 < -bounce_thresh, -e * vn0, 0.0)
+    bias = jnp.minimum(baumgarte / dt * jnp.maximum(phi - slop, 0.0),
+                       max_depen)
+    target = jnp.maximum(bounce, bias)                     # (P, B)
+
+    def body(_, carry):
+        lam, gv = carry                                    # (P,3,B), (nv,B)
+        v = jdot(gv)
+        # dv desired: (target - v_z) on z, -v on xy
+        dvx = -v[:, 0, :]
+        dvy = -v[:, 1, :]
+        dvz = target - v[:, 2, :]
+        dlx = relaxation * (Lam[:, 0] * dvx + Lam[:, 1] * dvy
+                            + Lam[:, 2] * dvz)
+        dly = relaxation * (Lam[:, 3] * dvx + Lam[:, 4] * dvy
+                            + Lam[:, 5] * dvz)
+        dlz = relaxation * (Lam[:, 6] * dvx + Lam[:, 7] * dvy
+                            + Lam[:, 8] * dvz)
+        lx = lam[:, 0, :] + dlx
+        ly = lam[:, 1, :] + dly
+        lz = lam[:, 2, :] + dlz
+        # project: normal (z) >= 0, tangential inside friction cone
+        ln = jnp.maximum(lz, 0.0)
+        lt = jnp.sqrt(lx * lx + ly * ly + 1e-18)
+        max_t = mu * ln
+        scale = jnp.where(lt > max_t, max_t / lt, 1.0)
+        lx = lx * scale * active
+        ly = ly * scale * active
+        lz = ln * active
+        new_lam = jnp.stack([lx, ly, lz], axis=1)          # (P, 3, B)
+        applied = new_lam - lam
+        # lazy impulse apply: gv += M^-1 (J^T applied)
+        jta = jnp.sum(J * applied[:, :, None, :], axis=(0, 1))   # (nv, B)
+        dgv = jnp.sum(Minv * jta[None, :, :], axis=1)            # (nv, B)
+        return new_lam, gv + dgv
+
+    lam0 = jnp.zeros((P, 3, B), J.dtype)
+    lam, gv = jax.lax.fori_loop(0, num_iters, body, (lam0, gv0))
+    gv_out_ref[:] = gv
+    lam_out_ref[:] = lam
+    # advance with the clamped velocities the integrator will apply
+    # (engine.py clamps qd to the URDF limits and the base to its caps)
+    gv_cl = jnp.clip(gv, -vlim, vlim)
+    pcp_out_ref[:] = p_cp + dt * jdot(gv_cl)
+
+
+def contact_substep_pallas(J_t, Lam_t, Minv_t, pcp_t, gv_t, rh_t, mu_t, e_t,
+                           vlim, *, num_iters: int, relaxation: float,
+                           dt: float, baumgarte: float, slop: float,
+                           max_depen: float, bounce_thresh: float,
+                           block: int = 256, interpret: bool = False):
+    """One contact substep, everything env-minor.  `vlim` (nv, 1) holds the
+    per-row velocity bounds used for the point advance.
+
+    Returns (gv_new_t (nv, Npad), pcp_new_t (P, 3, Npad),
+    lam_t (P, 3, Npad))."""
+    P = pcp_t.shape[0]
+    nv = gv_t.shape[0]
+    Npad = gv_t.shape[-1]
+    grid = (Npad // block,)
+    vlim_spec = pl.BlockSpec((nv, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _substep_kernel, P=P, nv=nv, num_iters=num_iters,
+        relaxation=relaxation, dt=dt, baumgarte=baumgarte, slop=slop,
+        max_depen=max_depen, bounce_thresh=bounce_thresh)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_spec(J_t.shape, block), _spec(Lam_t.shape, block),
+                  _spec(Minv_t.shape, block), _spec(pcp_t.shape, block),
+                  _spec(gv_t.shape, block), _spec(rh_t.shape, block),
+                  _spec(mu_t.shape, block), _spec(e_t.shape, block),
+                  vlim_spec],
+        out_specs=(_spec((nv, Npad), block), _spec((P, 3, Npad), block),
+                   _spec((P, 3, Npad), block)),
+        out_shape=(jax.ShapeDtypeStruct((nv, Npad), gv_t.dtype),
+                   jax.ShapeDtypeStruct((P, 3, Npad), gv_t.dtype),
+                   jax.ShapeDtypeStruct((P, 3, Npad), gv_t.dtype)),
+        interpret=interpret,
+    )(J_t, Lam_t, Minv_t, pcp_t, gv_t, rh_t, mu_t, e_t, vlim)

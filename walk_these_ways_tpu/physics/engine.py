@@ -255,7 +255,10 @@ def inertia_blocks(model: RobotModel, frames: BodyFrames, ref: jnp.ndarray,
     r = com - ref[:, None, :]
     rx = qops.skew(r)                                              # (N, nb, 3, 3)
     mrx = m[..., None, None] * rx
-    A = I_w - mrx @ rx
+    # HIGHEST precision: a default-precision matmul here runs the MXU in
+    # bf16 (observed in the round-2 profile as f32->bf16 layout copies) and
+    # loses mass-matrix conditioning
+    A = I_w - jnp.matmul(mrx, rx, precision=jax.lax.Precision.HIGHEST)
     return InertiaBlocks(A=A, B=mrx, m=m)
 
 
@@ -541,6 +544,10 @@ class DynamicsCache(NamedTuple):
     J: jnp.ndarray            # (N, P, 3, nv)
     MinvJT_p: jnp.ndarray     # (N, P, nv, 3)
     Lam: jnp.ndarray          # (N, P, 3, 3)
+    p_cp: jnp.ndarray         # (N, P, 3) contact point world positions at
+    # the anchor state — integrated at velocity level across the control
+    # step's substeps (p' = p + dt J qd) instead of re-running FK, the same
+    # first-order-in-dt approximation reuse mode already makes for J/M
     # env-minor pre-transposed operands for the Pallas contact kernel
     # (populated only when SimParams.use_pallas_contact)
     pallas_ops: tuple = ()
@@ -577,10 +584,32 @@ def build_dynamics_cache(model: RobotModel, params: SimParams,
     Lam = la.inv3(W)
     pallas_ops = ()
     if params.use_pallas_contact:
-        from ..ops.pallas_contact import prepare_big_operands
-        pallas_ops = prepare_big_operands(J, MinvJT_p, Lam)
+        # env-minor contact pipeline (ops/pallas_contact.py): J/Lam built in
+        # a Pallas kernel; the N-major J/MinvJT/W/Lam above become dead code
+        # XLA eliminates (only the non-pallas path consumes them)
+        from ..ops import pallas_contact as pc
+        interpret = jax.default_backend() != "tpu"
+        block = 256
+        Sw_t = pc.to_env_minor(Sw, block)
+        Sv_t = pc.to_env_minor(Sv, block)
+        Minv_t = pc.to_env_minor(Minv, block)
+        r_t = pc.to_env_minor(p_cp - ref[:, None, :], block)
+        anc_pn = jnp.asarray(model.anc_dof_body[:, model.cp_body].T,
+                             dtype=f32)                      # (P, nv)
+        J_t, Lam_t = pc.build_contact_cache_pallas(
+            anc_pn, Sw_t, Sv_t, Minv_t, r_t, block=block,
+            interpret=interpret)
+        # per-point radius + terrain height (flat fast path => h constant)
+        radius = jnp.asarray(model.cp_radius, dtype=f32)
+        Npad = Sw_t.shape[-1]
+        rh_t = jnp.broadcast_to(radius[:, None], (P, Npad))
+        mu_t = pc.to_env_minor(0.5 * (dyn.friction[:, None] + 1.0), block)
+        e_t = pc.to_env_minor(dyn.restitution[:, None], block)
+        p_cp_t = pc.to_env_minor(p_cp, block)
+        pallas_ops = (J_t, Lam_t, Minv_t, rh_t, mu_t, e_t, p_cp_t, block)
     return DynamicsCache(ref=ref, Sw=Sw, Sv=Sv, blk=blk, Minv=Minv, J=J,
-                         MinvJT_p=MinvJT_p, Lam=Lam, pallas_ops=pallas_ops)
+                         MinvJT_p=MinvJT_p, Lam=Lam, p_cp=p_cp,
+                         pallas_ops=pallas_ops)
 
 
 def physics_substep_cached(
@@ -591,9 +620,14 @@ def physics_substep_cached(
     dyn: DynamicsParams,
     terrain: Terrain,
     cache: DynamicsCache,
-) -> tuple[PhysicsState, ContactInfo]:
+    p_cp: jnp.ndarray | None = None,
+) -> tuple[PhysicsState, ContactInfo, jnp.ndarray]:
     """Substep using cached matrices (fresh: torques, contact gaps, bias
-    velocity terms, integration)."""
+    velocity terms, integration).
+
+    `p_cp` is the carried contact-point position estimate (starts at
+    cache.p_cp, advanced here by dt * J qd — no per-substep FK); returns
+    (new_state, contact_info, p_cp_new)."""
     f32 = state.base_pos.dtype
     N = state.base_pos.shape[0]
     dt = params.dt
@@ -620,15 +654,35 @@ def physics_substep_cached(
     qdd = qdd.at[:, 3:6].add(jnp.cross(state.base_ang_vel, v_ref))
     gen_vel_free = gen_vel + dt * qdd
 
-    if params.contact_enabled:
-        # fresh contact gaps from fresh FK; cached J/Lam
-        frames = forward_kinematics(model, state)
-        cp_onehot = jnp.asarray(
-            np.eye(model.nb, dtype=np.float32)[model.cp_body], dtype=f32)
-        cp_off = jnp.asarray(model.cp_offset, dtype=f32)
-        Rb = _einsum("pb,nbij->npij", cp_onehot, frames.R)
-        pb = _einsum("pb,nbi->npi", cp_onehot, frames.p)
-        p_cp = pb + _einsum("npij,pj->npi", Rb, cp_off)
+    use_pallas = bool(params.use_pallas_contact and cache.pallas_ops
+                      and params.contact_enabled)
+    if p_cp is None:
+        p_cp = cache.pallas_ops[6] if use_pallas else cache.p_cp
+    lam_t = None
+    if use_pallas:
+        # env-minor Pallas pipeline: gaps/targets/iterations/point-advance
+        # all in one VMEM-resident kernel (ops/pallas_contact.py); `p_cp`
+        # is carried env-minor (P, 3, Npad), lam returned env-minor too
+        from ..ops import pallas_contact as pc
+        J_t, Lam_t, Minv_t, rh_t, mu_t, e_t, _, block = cache.pallas_ops
+        gv_t = pc.to_env_minor(gen_vel_free, block)
+        vlim = jnp.concatenate([
+            jnp.full((3,), params.max_base_ang_vel, f32),
+            jnp.full((3,), params.max_base_lin_vel, f32),
+            jnp.asarray(model.dof_vel_limit, dtype=f32)])[:, None]
+        gv_new_t, p_cp, lam_t = pc.contact_substep_pallas(
+            J_t, Lam_t, Minv_t, p_cp, gv_t, rh_t, mu_t, e_t, vlim,
+            num_iters=params.num_contact_iters,
+            relaxation=params.relaxation, dt=dt,
+            baumgarte=params.contact_baumgarte, slop=params.contact_slop,
+            max_depen=params.max_depenetration_velocity,
+            bounce_thresh=params.bounce_threshold_velocity, block=block,
+            interpret=jax.default_backend() != "tpu")
+        gen_vel_new = pc.from_env_minor(gv_new_t, N)
+        cp_forces = None          # materialized lazily from lam_t by caller
+    elif params.contact_enabled:
+        # fresh contact gaps from the velocity-integrated point estimate;
+        # cached J/Lam
         radius = jnp.asarray(model.cp_radius, dtype=f32)
         h, n_srf = terrain.lookup(p_cp[..., 0], p_cp[..., 1])
         phi = h + radius[None, :] - p_cp[..., 2]
@@ -644,16 +698,9 @@ def physics_substep_cached(
                 phi - params.contact_slop, 0.0),
             params.max_depenetration_velocity)
         target_n = jnp.maximum(bounce, cbias)
-        if params.use_pallas_contact and cache.pallas_ops:
-            from ..ops.pallas_contact import contact_solve_pallas_prepped
-            gen_vel_new, lam = contact_solve_pallas_prepped(
-                cache.pallas_ops, n_srf, target_n,
-                jnp.broadcast_to(mu, target_n.shape), active, gen_vel_free,
-                params.num_contact_iters, params.relaxation)
-        else:
-            lam, gen_vel_new = _impulse_iteration(
-                params, cache.J, cache.MinvJT_p, cache.Lam, n_srf, target_n,
-                mu, active, gen_vel_free)
+        lam, gen_vel_new = _impulse_iteration(
+            params, cache.J, cache.MinvJT_p, cache.Lam, n_srf, target_n,
+            mu, active, gen_vel_free)
         cp_forces = lam / dt
     else:
         P = model.cp_body.shape[0]
@@ -675,12 +722,53 @@ def physics_substep_cached(
     new_state = PhysicsState(
         base_pos=base_pos, base_quat=base_quat, base_lin_vel=lin_new,
         base_ang_vel=ang_new, q=q_new, qd=qd_new)
+    if use_pallas:
+        # impulses stay env-minor; only the final substep's forces are
+        # consumed, so the caller materializes them once per control step
+        # via contact_report_from_lam_t (avoids a 42x-lane-padded
+        # (N, P, 3) write per substep); p_cp was advanced in-kernel
+        return new_state, lam_t, p_cp
     rep_onehot = jnp.asarray(
         np.eye(model.num_report_bodies, dtype=np.float32)[model.cp_report_body],
         dtype=f32)
     seg = _einsum("pr,npi->nri", rep_onehot, cp_forces)
     foot_forces = cp_forces[:, model.cp_is_foot, :]
-    return new_state, ContactInfo(report_forces=seg, foot_forces=foot_forces)
+    # advance the contact-point estimate with the post-solve velocities
+    gv_clipped = jnp.concatenate(
+        [ang_new, v_ref_new, qd_new], axis=-1)
+    v_cp = _einsum("npiv,nv->npi", cache.J, gv_clipped)
+    p_cp_new = p_cp + dt * v_cp
+    return new_state, ContactInfo(report_forces=seg, foot_forces=foot_forces), \
+        p_cp_new
+
+
+def contact_report_from_lam_t(model: RobotModel, lam_t: jnp.ndarray,
+                              dt: float, N: int) -> ContactInfo:
+    """Materialize the report-body contact forces from env-minor impulses
+    (P, 3, Npad) — called once per control step in the Pallas path."""
+    from ..ops import pallas_contact as pc
+    f32 = lam_t.dtype
+    forces = pc.from_env_minor(lam_t, N) / dt            # (N, P, 3)
+    rep_onehot = jnp.asarray(
+        np.eye(model.num_report_bodies, dtype=np.float32)[model.cp_report_body],
+        dtype=f32)
+    seg = _einsum("pr,npi->nri", rep_onehot, forces)
+    return ContactInfo(report_forces=seg,
+                       foot_forces=forces[:, model.cp_is_foot, :])
+
+
+def foot_state_from_pcp_t(model: RobotModel, p_cp_t: jnp.ndarray,
+                          p_cp_prev_t: jnp.ndarray, dt: float, N: int):
+    """Foot positions & velocities from the env-minor carried contact
+    points of the last substep (Pallas path): positions are the foot rows
+    of p_cp, velocities the backward difference the kernel advanced them
+    with.  Returns ((N,4,3), (N,4,3)) in FL FR RL RR order."""
+    from ..ops import pallas_contact as pc
+    feet = np.nonzero(model.cp_is_foot)[0]
+    p_foot_t = jnp.concatenate([p_cp_t[f:f + 1] for f in feet], axis=0)
+    v_foot_t = jnp.concatenate(
+        [(p_cp_t[f:f + 1] - p_cp_prev_t[f:f + 1]) / dt for f in feet], axis=0)
+    return pc.from_env_minor(p_foot_t, N), pc.from_env_minor(v_foot_t, N)
 
 
 # ---------------------------------------------------------------------------
@@ -786,6 +874,26 @@ def physics_substep(
     seg = _einsum("pr,npi->nri", rep_onehot, cp_forces)
     foot_forces = cp_forces[:, model.cp_is_foot, :]
     return new_state, ContactInfo(report_forces=seg, foot_forces=foot_forces)
+
+
+def foot_state_from_cache(model: RobotModel, cache: DynamicsCache,
+                          state: PhysicsState, p_cp: jnp.ndarray):
+    """Foot positions & velocities from the carried contact-point estimate
+    and cached Jacobians — replaces a full FK + twist pass per control step
+    in reuse mode (the foot contact points coincide with the reference's
+    foot rigid-body positions: same body, same offset).  Returns
+    ((N,4,3), (N,4,3)) in FL FR RL RR order."""
+    f32 = state.base_pos.dtype
+    foot_onehot = jnp.asarray(
+        np.eye(model.cp_body.shape[0], dtype=np.float32)[model.cp_is_foot],
+        dtype=f32)                                          # (4, P)
+    p_foot = _einsum("fp,npi->nfi", foot_onehot, p_cp)
+    delta = cache.ref - state.base_pos
+    v_ref = state.base_lin_vel + jnp.cross(state.base_ang_vel, delta)
+    gv = jnp.concatenate([state.base_ang_vel, v_ref, state.qd], axis=-1)
+    J_feet = _einsum("fp,npiv->nfiv", foot_onehot, cache.J)
+    v_foot = _einsum("nfiv,nv->nfi", J_feet, gv)
+    return p_foot, v_foot
 
 
 def foot_positions_velocities(model: RobotModel, state: PhysicsState):
