@@ -14,15 +14,18 @@ from datetime import datetime
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int):
+def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
+              num_eval_envs: int = 0, eval_expert: bool = False):
     from walk_these_ways_tpu.go1_config import mob_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
 
     cfg = mob_train_cfg(num_envs=num_envs)
-    env = LeggedRobotEnv(cfg)
+    eval_cfg = mob_train_cfg(num_envs=num_eval_envs) if num_eval_envs else None
+    env = LeggedRobotEnv(cfg, eval_cfg=eval_cfg)
     runner = Runner(env, log_dir=log_dir, seed=seed,
-                    args=RunnerArgs(max_iterations=iterations))
+                    args=RunnerArgs(max_iterations=iterations,
+                                    eval_expert=eval_expert))
     runner.learn(num_learning_iterations=iterations,
                  init_at_random_ep_len=True)
 
@@ -33,8 +36,14 @@ if __name__ == "__main__":
     p.add_argument("--iterations", type=int, default=1500)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--log-dir", type=str, default=None)
+    p.add_argument("--num-eval-envs", type=int, default=0,
+                   help="extra eval envs (deterministic policy, excluded "
+                        "from PPO; reference train/eval split)")
+    p.add_argument("--eval-expert", action="store_true",
+                   help="eval envs use the teacher head")
     a = p.parse_args()
     log_dir = a.log_dir or os.path.join(
         "runs", "gait-conditioned-agility",
         datetime.now().strftime("%Y-%m-%d/train/%H%M%S"))
-    train_go1(a.num_envs, a.iterations, log_dir, a.seed)
+    train_go1(a.num_envs, a.iterations, log_dir, a.seed,
+              num_eval_envs=a.num_eval_envs, eval_expert=a.eval_expert)

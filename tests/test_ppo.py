@@ -155,3 +155,45 @@ def test_runner_curriculum_dump(tmp_path):
     assert d["bin_task_reward_means"].shape == (C, B, 4)
     assert d["bin_episode_counts"].shape == (C, B)
     assert np.isfinite(d["bin_task_reward_means"]).all()
+
+
+def test_train_eval_env_split():
+    """Train/eval split (reference base_task.py:43-50 +
+    ppo_cse/__init__.py:140-147): eval envs run deterministically, are
+    excluded from PPO, use their own DR config, and produce separate
+    episode metrics."""
+    import dataclasses
+    from walk_these_ways_tpu.go1_config import small_train_cfg
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+
+    cfg = small_train_cfg(num_envs=8)
+    eval_cfg = dataclasses.replace(
+        small_train_cfg(num_envs=4),
+        domain_rand=dataclasses.replace(
+            cfg.domain_rand, randomize_friction=True,
+            friction_range=(3.0, 3.5)))
+    env = LeggedRobotEnv(cfg, eval_cfg=eval_cfg)
+    assert env.num_envs == 12
+    assert env.num_train_envs == 8 and env.num_eval_envs == 4
+
+    es, obs = env.reset(jax.random.PRNGKey(0))
+    # eval slice sampled friction from ITS range, train slice from cfg's
+    fr = np.asarray(es.friction_coeffs)
+    assert (fr[8:] >= 3.0).all() and (fr[8:] <= 3.5).all()
+    assert (fr[:8] <= 3.0).all()
+
+    ts = ppo_mod.init_train_state(jax.random.PRNGKey(1), env)
+    it = jax.jit(ppo_mod.make_train_iteration(env, num_steps=6))
+    es, obs, ts, m = it(es, obs, ts)
+    assert np.isfinite(float(m.value_loss))
+    # both metric groups populated over enough steps to see episode ends
+    for _ in range(3):
+        es, obs, ts, m = it(es, obs, ts)
+    assert float(m.eval_ep_count_done) >= 0.0     # field exists & finite
+    assert np.isfinite(np.asarray(m.eval_ep_sums_done)).all()
+
+    # teacher-mode eval compiles and runs too
+    it_t = jax.jit(ppo_mod.make_train_iteration(env, num_steps=4,
+                                                eval_expert=True))
+    es, obs, ts, m = it_t(es, obs, ts)
+    assert np.isfinite(float(m.surrogate_loss))

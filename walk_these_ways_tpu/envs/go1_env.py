@@ -101,21 +101,53 @@ class StepInfo(NamedTuple):
     time_outs: jnp.ndarray               # (N,)
     env_bins: jnp.ndarray                # (N,)
     # per-term sums over envs that finished an episode this step + count,
-    # for host-side logging without any device->host sync in the hot loop
-    ep_sums_done: jnp.ndarray            # (n_terms + 1,)
+    # for host-side logging without any device->host sync in the hot loop;
+    # split into train/eval slices (reference logs separate
+    # train/episode and eval/episode groups, ppo_cse/__init__.py:156-180)
+    ep_sums_done: jnp.ndarray            # (n_terms + 1,)  train slice
     ep_count_done: jnp.ndarray           # ()
     ep_len_done: jnp.ndarray             # () summed episode lengths at done
+    eval_ep_sums_done: jnp.ndarray       # (n_terms + 1,)  eval slice
+    eval_ep_count_done: jnp.ndarray      # ()
+    eval_ep_len_done: jnp.ndarray        # ()
     torques: jnp.ndarray                 # (N, 12)
 
 
 class LeggedRobotEnv:
-    """Static env context; all methods are pure and jit-friendly."""
+    """Static env context; all methods are pure and jit-friendly.
+
+    Train/eval env split (reference base_task.py:43-50): when `eval_cfg`
+    is given, `eval_cfg.env.num_envs` extra envs are appended after the
+    `cfg.env.num_envs` train envs.  Eval envs may use a different
+    `domain_rand` section (the eval_metrics DR presets); all other
+    sections must match — per-env DR ranges are baked as dense arrays, so
+    the split costs nothing inside the jitted step.  The trainer runs the
+    deterministic student (or teacher) on the eval slice and excludes it
+    from PPO (reference ppo_cse/__init__.py:140-147)."""
 
     def __init__(self, cfg: Cfg, model: RobotModel | None = None,
-                 terrain_seed: int = 0):
+                 terrain_seed: int = 0, eval_cfg: Cfg | None = None):
         self.cfg = cfg
+        self.eval_cfg = eval_cfg
         self.model = model or go1()
         m = self.model
+        self.num_train_envs = cfg.env.num_envs
+        self.num_eval_envs = eval_cfg.env.num_envs if eval_cfg else 0
+        if eval_cfg is not None:
+            # supported divergence: domain_rand (and env.num_envs); the
+            # rest of the config tree is baked into one program
+            import dataclasses as _dc
+            a = _dc.replace(cfg, env=_dc.replace(cfg.env, num_envs=0),
+                            domain_rand=cfg.domain_rand)
+            b = _dc.replace(eval_cfg, env=_dc.replace(eval_cfg.env, num_envs=0),
+                            domain_rand=cfg.domain_rand)
+            assert a == b, ("eval_cfg may differ from cfg only in "
+                            "domain_rand and env.num_envs")
+            cfg = _dc.replace(
+                cfg, env=_dc.replace(
+                    cfg.env,
+                    num_envs=self.num_train_envs + self.num_eval_envs))
+            self.cfg = cfg
         self.num_envs = cfg.env.num_envs
         self.num_obs = cfg.env.num_observations
         self.num_privileged_obs = cfg.env.num_privileged_obs
@@ -266,6 +298,36 @@ class LeggedRobotEnv:
         assert vec.shape[0] == self.num_obs, (vec.shape, self.num_obs)
         return jnp.asarray(vec, dtype=jnp.float32)
 
+    # -- per-env domain-rand ranges (train/eval split) ---------------------
+    def _dr_split(self, flag_name: str, range_name: str):
+        """(lo, hi, on) per-env arrays for a domain_rand field, honoring
+        the eval slice's override (reference applies eval_cfg.domain_rand
+        to the eval envs, legged_robot.py:531-544 _call_train_eval)."""
+        T, E = self.num_train_envs, self.num_eval_envs
+        tr = self.cfg.domain_rand
+        ev = self.eval_cfg.domain_rand if self.eval_cfg else tr
+        tr_r = getattr(tr, range_name)
+        ev_r = getattr(ev, range_name)
+        lo = np.concatenate([np.full(T, tr_r[0]), np.full(E, ev_r[0])])
+        hi = np.concatenate([np.full(T, tr_r[1]), np.full(E, ev_r[1])])
+        on = np.concatenate([
+            np.full(T, bool(getattr(tr, flag_name))),
+            np.full(E, bool(getattr(ev, flag_name)))])
+        return (jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32),
+                jnp.asarray(on))
+
+    def _dr_uniform(self, key, flag_name, range_name, default, shape_extra=()):
+        """Per-env uniform sample inside the split-aware range; `default`
+        where randomization is off for that split."""
+        lo, hi, on = self._dr_split(flag_name, range_name)
+        N = self.num_envs
+        u = jax.random.uniform(key, (N,) + shape_extra)
+        ex = (None,) * len(shape_extra)
+        lo_b = lo[(slice(None),) + ex] if shape_extra else lo
+        hi_b = hi[(slice(None),) + ex] if shape_extra else hi
+        on_b = on[(slice(None),) + ex] if shape_extra else on
+        return jnp.where(on_b, lo_b + u * (hi_b - lo_b), default)
+
     # -- initialization ---------------------------------------------------
     def init_state(self, rng: jax.Array) -> EnvState:
         """Fresh state with creation-time DR applied (reference
@@ -279,14 +341,15 @@ class LeggedRobotEnv:
         def u(key, lo, hi, shape):
             return jax.random.uniform(key, shape, minval=lo, maxval=hi)
 
-        friction = (u(keys[0], *dr.friction_range, (N,))
-                    if dr.randomize_friction else jnp.ones(N))
-        restitution = (u(keys[1], *dr.restitution_range, (N,))
-                       if dr.randomize_restitution else jnp.zeros(N))
-        payload = (u(keys[2], *dr.added_mass_range, (N,))
-                   if dr.randomize_base_mass else jnp.zeros(N))
-        com_disp = (u(keys[3], *dr.com_displacement_range, (N, 3))
-                    if dr.randomize_com_displacement else jnp.zeros((N, 3)))
+        friction = self._dr_uniform(
+            keys[0], "randomize_friction", "friction_range", 1.0)
+        restitution = self._dr_uniform(
+            keys[1], "randomize_restitution", "restitution_range", 0.0)
+        payload = self._dr_uniform(
+            keys[2], "randomize_base_mass", "added_mass_range", 0.0)
+        com_disp = self._dr_uniform(
+            keys[3], "randomize_com_displacement", "com_displacement_range",
+            0.0, shape_extra=(3,))
         gravity_offset = (u(keys[4], *dr.gravity_range, (3,))
                           if dr.randomize_gravity else jnp.zeros(3))
 
@@ -345,23 +408,22 @@ class LeggedRobotEnv:
         return state
 
     def _sample_dof_props(self, rng, N):
-        """Motor strength/offset/Kp/Kd DR (legged_robot.py:645-665)."""
-        dr = self.cfg.domain_rand
+        """Motor strength/offset/Kp/Kd DR (legged_robot.py:645-665),
+        split-aware per env."""
         k1, k2, k3, k4 = jax.random.split(rng, 4)
-        # motor strength: one factor per env broadcast to 12 joints
-        ms = (jax.random.uniform(k1, (N, 1), minval=dr.motor_strength_range[0],
-                                 maxval=dr.motor_strength_range[1])
-              * jnp.ones((1, 12))
-              if dr.randomize_motor_strength else jnp.ones((N, 12)))
-        mo = (jax.random.uniform(k2, (N, 12), minval=dr.motor_offset_range[0],
-                                 maxval=dr.motor_offset_range[1])
-              if dr.randomize_motor_offset else jnp.zeros((N, 12)))
-        kp = (jax.random.uniform(k3, (N, 1), minval=dr.Kp_factor_range[0],
-                                 maxval=dr.Kp_factor_range[1]) * jnp.ones((1, 12))
-              if dr.randomize_Kp_factor else jnp.ones((N, 12)))
-        kd = (jax.random.uniform(k4, (N, 1), minval=dr.Kd_factor_range[0],
-                                 maxval=dr.Kd_factor_range[1]) * jnp.ones((1, 12))
-              if dr.randomize_Kd_factor else jnp.ones((N, 12)))
+        # motor strength / Kp / Kd: one factor per env broadcast to 12 joints
+        ms = self._dr_uniform(
+            k1, "randomize_motor_strength", "motor_strength_range",
+            1.0)[:, None] * jnp.ones((1, 12))
+        mo = self._dr_uniform(
+            k2, "randomize_motor_offset", "motor_offset_range", 0.0,
+            shape_extra=(12,))
+        kp = self._dr_uniform(
+            k3, "randomize_Kp_factor", "Kp_factor_range",
+            1.0)[:, None] * jnp.ones((1, 12))
+        kd = self._dr_uniform(
+            k4, "randomize_Kd_factor", "Kd_factor_range",
+            1.0)[:, None] * jnp.ones((1, 12))
         return ms, mo, kp, kd
 
     # -- torque model ------------------------------------------------------
@@ -745,11 +807,17 @@ class LeggedRobotEnv:
                                episode_sums=episode_sums,
                                command_sums=command_sums)
 
-        # 12. masked auto-reset (legged_robot.py:150-239)
-        ep_sums_done = jnp.sum(
-            jnp.where(reset[:, None], state.episode_sums, 0.0), axis=0)
-        ep_count_done = jnp.sum(reset)
-        ep_len_done = jnp.sum(jnp.where(reset, episode_length, 0))
+        # 12. masked auto-reset (legged_robot.py:150-239); episode stats
+        # split by train/eval slice (static boundary)
+        T = self.num_train_envs
+        done_sums = jnp.where(reset[:, None], state.episode_sums, 0.0)
+        done_len = jnp.where(reset, episode_length, 0)
+        ep_sums_done = jnp.sum(done_sums[:T], axis=0)
+        ep_count_done = jnp.sum(reset[:T])
+        ep_len_done = jnp.sum(done_len[:T])
+        eval_ep_sums_done = jnp.sum(done_sums[T:], axis=0)
+        eval_ep_count_done = jnp.sum(reset[T:])
+        eval_ep_len_done = jnp.sum(done_len[T:])
         state = self._reset_envs(state, reset, k_reset, k_reset_cmd)
 
         # 13. observations (legged_robot.py:302+) on post-reset state
@@ -782,7 +850,11 @@ class LeggedRobotEnv:
         info = StepInfo(
             time_outs=time_out, env_bins=state.env_command_bins,
             ep_sums_done=ep_sums_done, ep_count_done=ep_count_done,
-            ep_len_done=ep_len_done, torques=state.torques)
+            ep_len_done=ep_len_done,
+            eval_ep_sums_done=eval_ep_sums_done,
+            eval_ep_count_done=eval_ep_count_done,
+            eval_ep_len_done=eval_ep_len_done,
+            torques=state.torques)
         return state, obs_dict, rew_total, reset, info
 
     def _measured_ground(self, state: EnvState) -> jnp.ndarray:

@@ -23,7 +23,8 @@ class VecEnvAdapter:
         self.num_privileged_obs = env.num_privileged_obs
         self.num_obs_history = env.num_obs_history
         self.num_actions = env.num_actions
-        self.num_train_envs = env.num_envs
+        self.num_train_envs = env.num_train_envs
+        self.num_eval_envs = env.num_eval_envs
         self.dt = env.dt
         self.max_episode_length = env.max_episode_length
         self._step = jax.jit(env.step)

@@ -74,6 +74,10 @@ class IterMetrics(NamedTuple):
     ep_sums_done: jnp.ndarray         # (n_terms+1,) summed over finished eps
     ep_count_done: jnp.ndarray
     ep_len_done: jnp.ndarray
+    # eval-slice episode stats (zero when the env has no eval split)
+    eval_ep_sums_done: jnp.ndarray
+    eval_ep_count_done: jnp.ndarray
+    eval_ep_len_done: jnp.ndarray
     curriculum_area: jnp.ndarray      # (C,) mean weight per gait category
 
 
@@ -115,29 +119,51 @@ class Transition(NamedTuple):
 
 
 def make_train_iteration(env, args: PPO_Args = PPO_Args(),
-                         num_steps: int = 24):
+                         num_steps: int = 24, eval_expert: bool = False):
     """Build the jittable one-iteration training function.
 
     Returns fn: (env_state, obs_dict, train_state) ->
                 (env_state, obs_dict, train_state, IterMetrics)
+
+    Train/eval env split (reference ppo_cse/__init__.py:140-147): the
+    first env.num_train_envs envs act with the sampled student policy and
+    feed PPO; any eval envs after them act deterministically (student
+    mean, or teacher when `eval_expert`) and contribute only to the
+    eval episode metrics.
     """
     main_opt, adapt_opt = make_optimizers(args)
+    Ttrain = env.num_train_envs
+    has_eval = env.num_eval_envs > 0
 
     def rollout_step(carry, _):
         env_state, obs_dict, params, rng = carry
         rng, k_act = jax.random.split(rng)
         hist = obs_dict["obs_history"]
         priv = obs_dict["privileged_obs"]
-        actions, logp, mu, sigma = ac.sample_actions(params, hist, k_act)
-        values = ac.evaluate(params, hist, priv)
+        actions_tr, logp, mu, sigma = ac.sample_actions(
+            params, hist[:Ttrain], k_act)
+        if has_eval:
+            if eval_expert:
+                actions_ev = ac.act_teacher(params, hist[Ttrain:],
+                                            priv[Ttrain:])
+            else:
+                actions_ev = ac.actor_mean(params, hist[Ttrain:])
+            actions = jnp.concatenate([actions_tr, actions_ev], axis=0)
+        else:
+            actions = actions_tr
+        values = ac.evaluate(params, hist[:Ttrain], priv[:Ttrain])
         env_state, new_obs, rew, done, info = env.step(env_state, actions)
+        rew = rew[:Ttrain]
+        done_tr = done[:Ttrain]
         # timeout bootstrap (ppo.py:84-86)
-        rew = rew + args.gamma * values * info.time_outs
+        rew = rew + args.gamma * values * info.time_outs[:Ttrain]
         t = Transition(
-            obs_history=hist, privileged_obs=priv, actions=actions,
-            rewards=rew, dones=done, values=values, log_probs=logp,
-            mu=mu, sigma=sigma)
-        log = (info.ep_sums_done, info.ep_count_done, info.ep_len_done)
+            obs_history=hist[:Ttrain], privileged_obs=priv[:Ttrain],
+            actions=actions_tr, rewards=rew, dones=done_tr, values=values,
+            log_probs=logp, mu=mu, sigma=sigma)
+        log = (info.ep_sums_done, info.ep_count_done, info.ep_len_done,
+               info.eval_ep_sums_done, info.eval_ep_count_done,
+               info.eval_ep_len_done)
         return (env_state, new_obs, params, rng), (t, log)
 
     def compute_gae(traj: Transition, last_values):
@@ -262,10 +288,14 @@ def make_train_iteration(env, args: PPO_Args = PPO_Args(),
         ep_sums_done = jnp.sum(logs[0], axis=0)
         ep_count_done = jnp.sum(logs[1])
         ep_len_done = jnp.sum(logs[2])
+        eval_ep_sums_done = jnp.sum(logs[3], axis=0)
+        eval_ep_count_done = jnp.sum(logs[4])
+        eval_ep_len_done = jnp.sum(logs[5])
 
         # -- GAE (ppo.py:93-95) -------------------------------------------
-        last_values = ac.evaluate(ts.params, obs_dict["obs_history"],
-                                  obs_dict["privileged_obs"])
+        last_values = ac.evaluate(ts.params,
+                                  obs_dict["obs_history"][:Ttrain],
+                                  obs_dict["privileged_obs"][:Ttrain])
         returns, advantages = compute_gae(traj, last_values)
 
         # -- flatten (T, N, ...) -> (T*N, ...) ----------------------------
@@ -303,6 +333,9 @@ def make_train_iteration(env, args: PPO_Args = PPO_Args(),
             ep_sums_done=ep_sums_done,
             ep_count_done=ep_count_done,
             ep_len_done=ep_len_done,
+            eval_ep_sums_done=eval_ep_sums_done,
+            eval_ep_count_done=eval_ep_count_done,
+            eval_ep_len_done=eval_ep_len_done,
             curriculum_area=jnp.mean(env_state.curriculum.weights, axis=-1),
         )
         ts = TrainState(params=params, opt_state=opt_state,

@@ -38,6 +38,9 @@ class RunnerArgs:
     # curriculum weight-grid + per-bin reward-mean dump cadence (reference
     # curriculum_dump_freq=500, ppo_cse/__init__.py:107,193-202)
     curriculum_dump_freq: int = 500
+    # eval envs act with the teacher instead of the deterministic student
+    # (reference learn(eval_expert=...), ppo_cse/__init__.py:107,140-147)
+    eval_expert: bool = False
     # render a short student-policy rollout every N iterations (0 = off);
     # analog of the reference's save_video_interval camera capture
     render_interval: int = 0
@@ -58,7 +61,8 @@ class Runner:
         k_ts, self._reset_key = jax.random.split(rng)
         self.train_state = ppo_mod.init_train_state(k_ts, env, ppo_args)
         self.train_iter = jax.jit(ppo_mod.make_train_iteration(
-            env, ppo_args, num_steps=args.num_steps_per_env))
+            env, ppo_args, num_steps=args.num_steps_per_env,
+            eval_expert=args.eval_expert))
         self.env_state = None
         self.obs_dict = None
         self.tot_timesteps = 0
@@ -77,6 +81,9 @@ class Runner:
         ep_sums_acc = np.zeros(len(term_names))
         ep_count_acc = 0.0
         ep_len_acc = 0.0
+        ev_sums_acc = np.zeros(len(term_names))
+        ev_count_acc = 0.0
+        ev_len_acc = 0.0
         t_start = time.time()
 
         start_iter = int(self.train_state.iteration)
@@ -96,6 +103,9 @@ class Runner:
                     ep_sums_acc += m.ep_sums_done
                     ep_count_acc += float(m.ep_count_done)
                     ep_len_acc += float(m.ep_len_done)
+                    ev_sums_acc += m.eval_ep_sums_done
+                    ev_count_acc += float(m.eval_ep_count_done)
+                    ev_len_acc += float(m.eval_ep_len_done)
                     self.logger.store(
                         mean_value_loss=m.value_loss,
                         mean_surrogate_loss=m.surrogate_loss,
@@ -116,9 +126,18 @@ class Runner:
                             ep_sums_acc[i] / ep_count_acc)
                     extra["train/episode/mean_episode_length"] = (
                         ep_len_acc / ep_count_acc)
+                if ev_count_acc > 0:
+                    for i, name in enumerate(term_names):
+                        extra[f"eval/episode/rew_{name}/mean"] = (
+                            ev_sums_acc[i] / ev_count_acc)
+                    extra["eval/episode/mean_episode_length"] = (
+                        ev_len_acc / ev_count_acc)
                 ep_sums_acc[:] = 0.0
                 ep_count_acc = 0.0
                 ep_len_acc = 0.0
+                ev_sums_acc[:] = 0.0
+                ev_count_acc = 0.0
+                ev_len_acc = 0.0
                 row = self.logger.summary(**extra)
                 steps_s = self.tot_timesteps / max(time.time() - t_start, 1e-9)
                 print(f"it {it+1:5d} | rew/step "
