@@ -140,4 +140,8 @@ class Agent:
             "body_linear_vel": self.se.get_body_linear_vel()[None, :],
             "body_angular_vel": self.se.get_body_angular_vel()[None, :],
         }
+        if self.se.use_cameras:
+            # (reference lcm_agent.py:266-297)
+            for name in self.se.camera_names:
+                infos[f"camera_image_{name}"] = self.se.camera_images[name]
         return obs, None, None, infos

@@ -25,6 +25,7 @@ static const char *kChannelLegControl = "leg_control_data";
 static const char *kChannelStateEstimator = "state_estimator_data";
 static const char *kChannelRcCommand = "rc_command";
 static const char *kChannelPdTargets = "pd_plustau_targets";
+[[maybe_unused]] static const char *kChannelCamera = "camera_frame";
 
 #pragma pack(push, 1)
 struct LegControlData {        // reference leg_control_data_lcmt
@@ -57,7 +58,25 @@ struct StateEstimate {         // reference state_estimator_lcmt
   float aBody[3];
   float contact_estimate[4];
 };
+
+// Fragment header for onboard camera frames (counterpart of the reference's
+// camera_message_lcmt / camera_message_rect_wide; Python side:
+// messages.CameraFrame, format "<BBHHHHHxxI").  Followed by <= 32768 image
+// bytes (HWC uint8).
+struct CameraFrameHeader {
+  uint8_t cam_id;      // 1..5 = front, bottom, left, right, rear
+  uint8_t channels;
+  uint16_t width;
+  uint16_t height;
+  uint16_t frame_seq;
+  uint16_t n_frags;
+  uint16_t frag_idx;
+  uint8_t pad[2];
+  uint32_t frag_off;
+};
 #pragma pack(pop)
+
+static const size_t kMaxCameraFrag = 32768;
 
 // ---------------------------------------------------------------------------
 // UDP multicast pub/sub
@@ -98,7 +117,7 @@ class Bus {
   }
 
   void publish(const std::string &channel, const void *payload, size_t n) {
-    char pkt[2048];
+    char pkt[kMaxCameraFrag + sizeof(CameraFrameHeader) + 64];
     size_t clen = channel.size();
     memcpy(pkt, kMagic, 4);
     pkt[4] = (char)clen;

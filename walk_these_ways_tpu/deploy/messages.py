@@ -19,6 +19,11 @@ CHANNEL_LEG_CONTROL = "leg_control_data"
 CHANNEL_STATE_ESTIMATOR = "state_estimator_data"
 CHANNEL_RC_COMMAND = "rc_command"
 CHANNEL_PD_TARGETS = "pd_plustau_targets"
+CHANNEL_CAMERA = "camera_frame"
+
+# Onboard camera ids (reference cheetah_state_estimator.py:318-334:
+# channels camera1..camera5 / rect_image_{name}).
+CAMERA_NAMES = ("front", "bottom", "left", "right", "rear")
 
 
 def _pack_floats(vals):
@@ -91,6 +96,79 @@ class RcCommand:
     def decode(cls, data: bytes) -> "RcCommand":
         v = struct.unpack(cls.FMT, data[: struct.calcsize(cls.FMT)])
         return cls(*v)
+
+
+class CameraFrame:
+    """Fragmented camera image (reference camera_message_lcmt /
+    camera_message_rect_wide, go1_gym_deploy/lcm_types/*).
+
+    The reference relies on LCM's built-in datagram fragmentation for its
+    278400-byte raw frames; our bus sends raw UDP datagrams, so the frame
+    carries its own fragment header:
+    ``cam_id(u8) channels(u8) width(u16) height(u16) frame_seq(u16)
+    n_frags(u16) frag_idx(u16) frag_off(u32)`` followed by the fragment
+    bytes.  Image payload is HWC uint8.
+    """
+
+    HEADER_FMT: ClassVar[str] = "<BBHHHHHxxI"
+    HEADER_SIZE: ClassVar[int] = struct.calcsize("<BBHHHHHxxI")
+    MAX_FRAG: ClassVar[int] = 32768
+
+    @classmethod
+    def encode_fragments(cls, cam_id: int, frame_seq: int,
+                         image) -> List[bytes]:
+        import numpy as np
+
+        img = np.ascontiguousarray(image, dtype=np.uint8)
+        assert img.ndim == 3, "camera frame must be HWC"
+        h, w, c = img.shape
+        raw = img.tobytes()
+        n_frags = max(1, (len(raw) + cls.MAX_FRAG - 1) // cls.MAX_FRAG)
+        out = []
+        for i in range(n_frags):
+            off = i * cls.MAX_FRAG
+            frag = raw[off: off + cls.MAX_FRAG]
+            hdr = struct.pack(cls.HEADER_FMT, cam_id, c, w, h,
+                              frame_seq & 0xFFFF, n_frags, i, off)
+            out.append(hdr + frag)
+        return out
+
+    @classmethod
+    def decode_header(cls, payload: bytes):
+        cam_id, c, w, h, seq, n_frags, idx, off = struct.unpack(
+            cls.HEADER_FMT, payload[: cls.HEADER_SIZE])
+        return dict(cam_id=cam_id, channels=c, width=w, height=h,
+                    frame_seq=seq, n_frags=n_frags, frag_idx=idx,
+                    frag_off=off, data=payload[cls.HEADER_SIZE:])
+
+
+class FrameAssembler:
+    """Reassembles CameraFrame fragments into HWC uint8 arrays; drops
+    incomplete frames when a newer sequence number arrives."""
+
+    def __init__(self):
+        self._partial = {}          # cam_id -> (seq, buf, missing)
+
+    def push(self, payload: bytes):
+        """Returns (cam_id, image) when a frame completes, else None."""
+        import numpy as np
+
+        m = CameraFrame.decode_header(payload)
+        cam, seq = m["cam_id"], m["frame_seq"]
+        total = m["height"] * m["width"] * m["channels"]
+        cur = self._partial.get(cam)
+        if cur is None or cur[0] != seq:
+            cur = (seq, bytearray(total), set(range(m["n_frags"])))
+            self._partial[cam] = cur
+        _, buf, missing = cur
+        buf[m["frag_off"]: m["frag_off"] + len(m["data"])] = m["data"]
+        missing.discard(m["frag_idx"])
+        if missing:
+            return None
+        del self._partial[cam]
+        img = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
+            m["height"], m["width"], m["channels"])
+        return cam, img
 
 
 @dataclass

@@ -33,7 +33,7 @@ class StateEstimator:
     JOINT_IDXS = [3, 4, 5, 0, 1, 2, 9, 10, 11, 6, 7, 8]
     CONTACT_IDXS = [1, 0, 3, 2]
 
-    def __init__(self, bus: Bus):
+    def __init__(self, bus: Bus, use_cameras: bool = False):
         self.bus = bus
         self.joint_pos = np.zeros(12)
         self.joint_vel = np.zeros(12)
@@ -71,9 +71,18 @@ class StateEstimator:
         self.cmd_bound, self.cmd_duration = 0.0, 0.5
         self.received_first_legdata = False
 
+        # camera pipeline (reference cheetah_state_estimator.py:114-124,
+        # 318-360): 5 onboard cameras, frames land in camera_image_<name>
+        self.use_cameras = use_cameras
+        self.camera_names = list(msg.CAMERA_NAMES)
+        self.camera_images = {name: None for name in self.camera_names}
+        self._frame_assembler = msg.FrameAssembler()
+
         bus.subscribe(msg.CHANNEL_LEG_CONTROL, self._legdata_cb)
         bus.subscribe(msg.CHANNEL_STATE_ESTIMATOR, self._imu_cb)
         bus.subscribe(msg.CHANNEL_RC_COMMAND, self._rc_cb)
+        if use_cameras:
+            bus.subscribe(msg.CHANNEL_CAMERA, self._camera_cb)
 
     # -- accessors (sim joint order) --------------------------------------
     def get_dof_pos(self):
@@ -105,6 +114,22 @@ class StateEstimator:
 
     def get_yaw(self):
         return self.euler[2]
+
+    # -- camera accessors (reference :245-258) -----------------------------
+    def get_camera_front(self):
+        return self.camera_images["front"]
+
+    def get_camera_bottom(self):
+        return self.camera_images["bottom"]
+
+    def get_camera_left(self):
+        return self.camera_images["left"]
+
+    def get_camera_right(self):
+        return self.camera_images["right"]
+
+    def get_camera_rear(self):
+        return self.camera_images["rear"]
 
     def get_buttons(self):
         return np.array([self.left_lower_left_switch, self.left_upper_switch,
@@ -175,6 +200,15 @@ class StateEstimator:
         self.timuprev = now
         self.buf_idx += 1
         self.euler_prev = self.euler.copy()
+
+    def _camera_cb(self, payload: bytes):
+        """Reassemble fragments; cam ids are 1-based like the reference's
+        camera1..camera5 channels (cheetah_state_estimator.py:318-334)."""
+        done = self._frame_assembler.push(payload)
+        if done is not None:
+            cam_id, img = done
+            if 1 <= cam_id <= len(self.camera_names):
+                self.camera_images[self.camera_names[cam_id - 1]] = img
 
     def _rc_cb(self, payload: bytes):
         m = msg.RcCommand.decode(payload)
