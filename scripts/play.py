@@ -12,23 +12,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def load_policy(path):
-    """Student policy from the flat npz export (runner.export_policy)."""
+    """Student policy from the flat npz export (runner.export_policy).
+
+    Variant-aware (meta/variant): 'cse' actor consumes obs_history+latent,
+    'rma' consumes obs+latent; artifacts without meta keys are cse."""
     import numpy as np
     import jax.numpy as jnp
     from walk_these_ways_tpu.models import actor_critic as ac
 
     z = np.load(path)
+    variant = str(z["meta/variant"]) if "meta/variant" in z else "cse"
+    n_adapt = int(z["meta/n_adaptation"]) if "meta/n_adaptation" in z else 3
+    n_actor = int(z["meta/n_actor"]) if "meta/n_actor" in z else 4
     def mlp(prefix, n):
         ws = tuple(jnp.asarray(z[f"{prefix}/w{i}"]) for i in range(n))
         bs = tuple(jnp.asarray(z[f"{prefix}/b{i}"]) for i in range(n))
         return ac.MLPParams(weights=ws, biases=bs)
-    adaptation = mlp("adaptation", 3)
-    actor = mlp("actor", 4)
+    adaptation = mlp("adaptation", n_adapt)
+    actor = mlp("actor", n_actor)
 
-    def policy(obs_history):
-        latent = ac.mlp_apply(adaptation, obs_history)
+    def policy(obs_dict):
+        hist = obs_dict["obs_history"]
+        latent = ac.mlp_apply(adaptation, hist)
+        body_in = obs_dict["obs"] if variant == "rma" else hist
         return ac.mlp_apply(
-            actor, jnp.concatenate([obs_history, latent], axis=-1))
+            actor, jnp.concatenate([body_in, latent], axis=-1))
     return policy
 
 
@@ -73,7 +81,7 @@ def play_go1(policy_path: str, steps: int = 250):
     for i in range(steps):
         state = state._replace(
             commands=jnp.asarray(cmd)[None, :].repeat(1, 0))
-        actions = pol(obs["obs_history"])
+        actions = pol(obs)
         state, obs, rew, done, info = step(state, actions)
         from walk_these_ways_tpu.ops import quat as qops
         v_body = qops.quat_rotate_inverse(

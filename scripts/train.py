@@ -15,7 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
-              num_eval_envs: int = 0, eval_expert: bool = False):
+              num_eval_envs: int = 0, eval_expert: bool = False,
+              algo: str = "cse"):
     from walk_these_ways_tpu.go1_config import mob_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
@@ -25,7 +26,8 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
     env = LeggedRobotEnv(cfg, eval_cfg=eval_cfg)
     runner = Runner(env, log_dir=log_dir, seed=seed,
                     args=RunnerArgs(max_iterations=iterations,
-                                    eval_expert=eval_expert))
+                                    eval_expert=eval_expert),
+                    algo=algo)
     runner.learn(num_learning_iterations=iterations,
                  init_at_random_ep_len=True)
 
@@ -41,9 +43,14 @@ if __name__ == "__main__":
                         "from PPO; reference train/eval split)")
     p.add_argument("--eval-expert", action="store_true",
                    help="eval envs use the teacher head")
+    p.add_argument("--algo", choices=["cse", "rma"], default="cse",
+                   help="cse = concurrent state estimation (reference "
+                        "ppo_cse, default); rma = teacher-student with "
+                        "env-factor encoder (reference ppo/)")
     a = p.parse_args()
     log_dir = a.log_dir or os.path.join(
         "runs", "gait-conditioned-agility",
         datetime.now().strftime("%Y-%m-%d/train/%H%M%S"))
     train_go1(a.num_envs, a.iterations, log_dir, a.seed,
-              num_eval_envs=a.num_eval_envs, eval_expert=a.eval_expert)
+              num_eval_envs=a.num_eval_envs, eval_expert=a.eval_expert,
+              algo=a.algo)

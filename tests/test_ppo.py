@@ -127,8 +127,40 @@ def test_rma_variant_train_iteration():
     es, obs = env.reset(jax.random.PRNGKey(1))
     it = jax.jit(ppo_rma.make_train_iteration(env, num_steps=8))
     es, obs, ts, m = it(es, obs, ts)
-    assert np.isfinite(float(m["value_loss"]))
-    assert np.isfinite(float(m["adaptation_loss"]))
+    assert np.isfinite(float(m.value_loss))
+    assert np.isfinite(float(m.adaptation_loss))
+
+
+def test_rma_runner_and_export(tmp_path):
+    """Runner(algo='rma') trains, exports a variant-tagged artifact, and
+    the deploy-side numpy loader reproduces the jax student policy."""
+    from walk_these_ways_tpu.go1_config import small_train_cfg
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+    from walk_these_ways_tpu.learn import ppo_rma
+    from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
+    from walk_these_ways_tpu.deploy.deploy_policy import load_student_policy
+
+    cfg = small_train_cfg(num_envs=8)
+    env = LeggedRobotEnv(cfg)
+    runner = Runner(env, log_dir=str(tmp_path), seed=0,
+                    args=RunnerArgs(num_steps_per_env=8, log_freq=1,
+                                    max_iterations=2),
+                    algo="rma")
+    runner.learn(num_learning_iterations=2)
+    path = tmp_path / "checkpoints" / "policy_latest.npz"
+    assert path.exists()
+    z = np.load(path)
+    assert str(z["meta/variant"]) == "rma"
+
+    # deploy loader (numpy, ELU) vs jax student_mean on a random obs dict
+    rng = np.random.RandomState(0)
+    obs = rng.randn(1, env.num_obs).astype(np.float32)
+    hist = rng.randn(1, env.num_obs_history).astype(np.float32)
+    policy = load_student_policy(str(path))
+    a_np = policy({"obs": obs, "obs_history": hist})
+    a_jx = np.asarray(ppo_rma.student_mean(
+        runner.train_state.params, jnp.asarray(obs), jnp.asarray(hist)))[0]
+    np.testing.assert_allclose(a_np, a_jx, rtol=1e-5, atol=1e-5)
 
 
 def test_runner_curriculum_dump(tmp_path):

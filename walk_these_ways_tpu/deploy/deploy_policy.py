@@ -27,8 +27,16 @@ from .state_estimator import StateEstimator
 
 def load_student_policy(path: str):
     """Numpy-only student policy (adaptation + actor from policy_latest.npz);
-    no jax dependency on the robot."""
+    no jax dependency on the robot.
+
+    Variant-aware: meta/variant 'cse' feeds the actor obs_history+latent;
+    'rma' feeds obs+latent (reference ppo/actor_critic.py:38-56).  Older
+    artifacts without meta keys are treated as cse with the default MoB
+    layer counts."""
     z = np.load(path)
+    variant = str(z["meta/variant"]) if "meta/variant" in z else "cse"
+    n_adapt = int(z["meta/n_adaptation"]) if "meta/n_adaptation" in z else 3
+    n_actor = int(z["meta/n_actor"]) if "meta/n_actor" in z else 4
 
     def mlp(prefix, n, x):
         for i in range(n):
@@ -39,8 +47,15 @@ def load_student_policy(path: str):
 
     def policy(obs_dict):
         hist = np.asarray(obs_dict["obs_history"], dtype=np.float32)
-        latent = mlp("adaptation", 3, hist)
-        action = mlp("actor", 4, np.concatenate([hist, latent], axis=-1))
+        latent = mlp("adaptation", n_adapt, hist)
+        if variant == "rma":
+            obs = np.asarray(obs_dict["obs"], dtype=np.float32)
+            if obs.ndim == 1:
+                obs = obs[None, :]
+            body_in = np.concatenate([obs, latent], axis=-1)
+        else:
+            body_in = np.concatenate([hist, latent], axis=-1)
+        action = mlp("actor", n_actor, body_in)
         return action[0]
 
     return policy

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models import actor_critic as ac
-from .ppo import PPO_Args, make_optimizers
+from .ppo import IterMetrics, PPO_Args, make_optimizers
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,35 +95,61 @@ def init_train_state(rng, env, args: PPO_Args = PPO_Args()) -> RMATrainState:
         iteration=jnp.zeros((), jnp.int32))
 
 
-def make_train_iteration(env, args: PPO_Args = PPO_Args(), num_steps: int = 24):
-    """Teacher-policy PPO + adaptation distillation, one jitted iteration."""
+def make_train_iteration(env, args: PPO_Args = PPO_Args(), num_steps: int = 24,
+                         eval_expert: bool = False):
+    """Teacher-policy PPO + adaptation distillation, one jitted iteration.
+
+    Same signature/metrics contract as ppo.make_train_iteration so the
+    Runner can drive either variant.  Train/eval env split mirrors the cse
+    path: the first env.num_train_envs envs act with the sampled teacher
+    and feed PPO; eval envs act deterministically with the distilled
+    student (or the teacher when `eval_expert`) and contribute only to the
+    eval episode metrics (reference ppo/__init__.py rollout split).
+    """
     main_opt, adapt_opt = make_optimizers(args)
+    Ttrain = env.num_train_envs
+    has_eval = env.num_eval_envs > 0
 
     def rollout_step(carry, _):
         env_state, obs_dict, params, rng = carry
         rng, k = jax.random.split(rng)
         obs, priv, hist = (obs_dict["obs"], obs_dict["privileged_obs"],
                            obs_dict["obs_history"])
-        mean, _ = teacher_mean(params, obs, priv)
+        mean, _ = teacher_mean(params, obs[:Ttrain], priv[:Ttrain])
         std = jnp.broadcast_to(params.std, mean.shape)
-        actions = mean + std * jax.random.normal(k, mean.shape)
-        logp = ac.gaussian_log_prob(actions, mean, std)
-        values = evaluate(params, obs, priv)
+        actions_tr = mean + std * jax.random.normal(k, mean.shape)
+        logp = ac.gaussian_log_prob(actions_tr, mean, std)
+        values = evaluate(params, obs[:Ttrain], priv[:Ttrain])
+        if has_eval:
+            if eval_expert:
+                actions_ev, _ = teacher_mean(params, obs[Ttrain:],
+                                             priv[Ttrain:])
+            else:
+                actions_ev = student_mean(params, obs[Ttrain:],
+                                          hist[Ttrain:])
+            actions = jnp.concatenate([actions_tr, actions_ev], axis=0)
+        else:
+            actions = actions_tr
         env_state, new_obs, rew, done, info = env.step(env_state, actions)
-        rew = rew + args.gamma * values * info.time_outs
-        t = (obs, priv, hist, actions, rew, done, values, logp, mean, std)
-        return (env_state, new_obs, params, rng), t
+        rew = rew[:Ttrain] + args.gamma * values * info.time_outs[:Ttrain]
+        done_tr = done[:Ttrain]
+        t = (obs[:Ttrain], priv[:Ttrain], hist[:Ttrain], actions_tr, rew,
+             done_tr, values, logp, mean, std)
+        log = (info.ep_sums_done, info.ep_count_done, info.ep_len_done,
+               info.eval_ep_sums_done, info.eval_ep_count_done,
+               info.eval_ep_len_done)
+        return (env_state, new_obs, params, rng), (t, log)
 
     def train_iteration(env_state, obs_dict, ts: RMATrainState):
         rng, k_roll, k_perm = jax.random.split(ts.rng, 3)
-        (env_state, obs_dict, _, _), traj = jax.lax.scan(
+        (env_state, obs_dict, _, _), (traj, logs) = jax.lax.scan(
             rollout_step, (env_state, obs_dict, ts.params, k_roll),
             None, length=num_steps)
         (obs_t, priv_t, hist_t, act_t, rew_t, done_t, val_t, logp_t,
          mu_t, sig_t) = traj
 
-        last_values = evaluate(ts.params, obs_dict["obs"],
-                               obs_dict["privileged_obs"])
+        last_values = evaluate(ts.params, obs_dict["obs"][:Ttrain],
+                               obs_dict["privileged_obs"][:Ttrain])
 
         def scan_fn(adv, x):
             r, d, v, nv = x
@@ -203,11 +229,25 @@ def make_train_iteration(env, args: PPO_Args = PPO_Args(), num_steps: int = 24):
             minibatch, (ts.params, ts.opt_state, ts.adapt_opt_state, ts.lr),
             idxs)
         params, opt_state, adapt_opt_state, lr = carry
-        metrics = dict(value_loss=jnp.mean(ms[0]),
-                       surrogate_loss=jnp.mean(ms[1]),
-                       adaptation_loss=jnp.mean(ms[2]),
-                       mean_kl=jnp.mean(ms[3]), lr=lr,
-                       mean_reward=jnp.mean(rew_t))
+        # Same IterMetrics tuple as the cse path so the Runner can log
+        # either variant.  The reference RMA update has no 80/20 adaptation
+        # test split (ppo/ppo.py:157-170) — report the train loss for both.
+        metrics = IterMetrics(
+            value_loss=jnp.mean(ms[0]),
+            surrogate_loss=jnp.mean(ms[1]),
+            adaptation_loss=jnp.mean(ms[2]),
+            adaptation_test_loss=jnp.mean(ms[2]),
+            mean_kl=jnp.mean(ms[3]),
+            lr=lr,
+            mean_reward=jnp.mean(rew_t),
+            ep_sums_done=jnp.sum(logs[0], axis=0),
+            ep_count_done=jnp.sum(logs[1]),
+            ep_len_done=jnp.sum(logs[2]),
+            eval_ep_sums_done=jnp.sum(logs[3], axis=0),
+            eval_ep_count_done=jnp.sum(logs[4]),
+            eval_ep_len_done=jnp.sum(logs[5]),
+            curriculum_area=jnp.mean(env_state.curriculum.weights, axis=-1),
+        )
         ts = RMATrainState(params=params, opt_state=opt_state,
                            adapt_opt_state=adapt_opt_state, lr=lr, rng=rng,
                            iteration=ts.iteration + 1)

@@ -50,17 +50,30 @@ class RunnerArgs:
 class Runner:
     def __init__(self, env, log_dir: str = "./runs/latest", seed: int = 1,
                  args: RunnerArgs = RunnerArgs(),
-                 ppo_args: ppo_mod.PPO_Args = ppo_mod.PPO_Args()):
+                 ppo_args: ppo_mod.PPO_Args = ppo_mod.PPO_Args(),
+                 algo: str = "cse"):
+        """algo: 'cse' (concurrent state estimation, the default trainer,
+        reference ppo_cse/) or 'rma' (teacher-student with env-factor
+        encoder, reference ppo/).  Both variants emit the same IterMetrics
+        so logging/checkpoint/export below are shared."""
         self.env = env
         self.args = args
         self.ppo_args = ppo_args
+        self.algo = algo
+        if algo == "cse":
+            self._algo_mod = ppo_mod
+        elif algo == "rma":
+            from . import ppo_rma
+            self._algo_mod = ppo_rma
+        else:
+            raise ValueError(f"unknown algo {algo!r} (want 'cse' or 'rma')")
         self.log_dir = log_dir
         self.logger = MetricsLogger(log_dir)
 
         rng = jax.random.PRNGKey(seed)
         k_ts, self._reset_key = jax.random.split(rng)
-        self.train_state = ppo_mod.init_train_state(k_ts, env, ppo_args)
-        self.train_iter = jax.jit(ppo_mod.make_train_iteration(
+        self.train_state = self._algo_mod.init_train_state(k_ts, env, ppo_args)
+        self.train_iter = jax.jit(self._algo_mod.make_train_iteration(
             env, ppo_args, num_steps=args.num_steps_per_env,
             eval_expert=args.eval_expert))
         self.env_state = None
@@ -202,11 +215,16 @@ class Runner:
         from ..utils.render import render_trajectory
 
         state, obs = self.env_state, self.obs_dict
-        pol = jax.jit(lambda p, h: ac.actor_mean(p, h))
+        if self.algo == "rma":
+            from . import ppo_rma
+            pol = jax.jit(lambda p, o: ppo_rma.student_mean(
+                p, o["obs"], o["obs_history"]))
+        else:
+            pol = jax.jit(lambda p, o: ac.actor_mean(p, o["obs_history"]))
         step = jax.jit(self.env.step)
         frames = []
         for _ in range(self.args.render_steps):
-            actions = pol(self.train_state.params, obs["obs_history"])
+            actions = pol(self.train_state.params, obs)
             state, obs, rew, done, info = step(state, actions)
             frames.append(jax.tree.map(
                 lambda x: np.asarray(x[0:1]), state.phys))
@@ -238,15 +256,22 @@ class Runner:
     def export_policy(self, dirpath: str):
         """Deployment artifact: flat npz of adaptation + actor weights
         (the analog of {adaptation_module,body}_latest.jit,
-        ppo_cse/__init__.py:240-251)."""
+        ppo_cse/__init__.py:240-251).
+
+        meta/variant records the actor input wiring — 'cse': actor(history
+        + latent); 'rma': actor(obs + latent) (reference ppo/actor_critic
+        .py:38-56).  Loaders missing the key assume 'cse' (pre-round-2
+        artifacts)."""
         os.makedirs(dirpath, exist_ok=True)
         p = self.train_state.params
-        flat = {}
+        flat = {"meta/variant": np.asarray(self.algo)}
         for i, (w, b) in enumerate(zip(p.adaptation.weights, p.adaptation.biases)):
             flat[f"adaptation/w{i}"] = np.asarray(w)
             flat[f"adaptation/b{i}"] = np.asarray(b)
         for i, (w, b) in enumerate(zip(p.actor.weights, p.actor.biases)):
             flat[f"actor/w{i}"] = np.asarray(w)
             flat[f"actor/b{i}"] = np.asarray(b)
+        flat["meta/n_adaptation"] = np.asarray(len(p.adaptation.weights))
+        flat["meta/n_actor"] = np.asarray(len(p.actor.weights))
         flat["std"] = np.asarray(p.std)
         np.savez(os.path.join(dirpath, "policy_latest.npz"), **flat)
