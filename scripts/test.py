@@ -14,28 +14,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_env(num_envs: int = 3, steps: int = 1000, seed: int = 0):
-    import jax
     import jax.numpy as jnp
     import numpy as np
     from walk_these_ways_tpu.go1_config import mob_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+    from walk_these_ways_tpu.envs.wrappers import VecEnvAdapter
 
     cfg = mob_train_cfg(num_envs=num_envs)
-    env = LeggedRobotEnv(cfg)
-    state, obs = env.reset(jax.random.PRNGKey(seed))
-    step = jax.jit(env.step)
+    env = VecEnvAdapter(LeggedRobotEnv(cfg), seed=seed)
+    obs = env.reset()
     zero = jnp.zeros((num_envs, 12))
     t0 = time.time()
     for i in range(steps):
-        state, obs, rew, done, info = step(state, zero)
+        obs, rew, done, info = env.step(zero)
         if (i + 1) % 200 == 0:
-            z = np.asarray(state.phys.base_pos[:, 2])
+            z = np.asarray(env.state.phys.base_pos[:, 2])
             print(f"step {i+1:5d} | base z {z.mean():.3f} | "
                   f"rew {float(rew.mean()):.4f} | done {int(done.sum())}")
     dt = time.time() - t0
     print(f"{steps} steps x {num_envs} envs in {dt:.1f}s "
           f"({steps*num_envs/dt:,.0f} env-steps/s)")
-    z = np.asarray(state.phys.base_pos[:, 2])
+    z = np.asarray(env.state.phys.base_pos[:, 2])
     assert np.isfinite(np.asarray(obs["obs"])).all(), "non-finite obs"
     print("OK")
 

@@ -159,3 +159,30 @@ def test_active_terms_raises_on_unimplemented_scale():
     cfg = dataclasses.replace(cfg, reward_scales=bad)
     with pytest.raises(NotImplementedError, match="feet_air_time"):
         rew_mod.active_terms(cfg)
+
+
+def test_vec_env_adapter_parity(env_and_state):
+    """The gym-style adapter (reference vec_env.py:10-39 +
+    history_wrapper.py:18-41 API) must produce the same trajectory as the
+    functional interface it wraps."""
+    from walk_these_ways_tpu.envs.wrappers import VecEnvAdapter
+
+    env, _, _ = env_and_state
+    adapter = VecEnvAdapter(env, seed=5)
+    obs_a = adapter.reset()
+    assert adapter.num_envs == env.num_envs
+    assert adapter.num_train_envs + adapter.num_eval_envs == env.num_envs
+    assert adapter.get_observations() is obs_a
+
+    state_f, obs_f = env.reset(jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(obs_a["obs"]),
+                                  np.asarray(obs_f["obs"]))
+    step = jax.jit(env.step)
+    act = 0.1 * jnp.ones((env.num_envs, 12))
+    for _ in range(3):
+        obs_a, rew_a, done_a, _ = adapter.step(act)
+        state_f, obs_f, rew_f, done_f, _ = step(state_f, act)
+    np.testing.assert_array_equal(np.asarray(obs_a["obs_history"]),
+                                  np.asarray(obs_f["obs_history"]))
+    np.testing.assert_array_equal(np.asarray(rew_a), np.asarray(rew_f))
+    np.testing.assert_array_equal(np.asarray(done_a), np.asarray(done_f))
