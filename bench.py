@@ -28,7 +28,7 @@ import jax.numpy as jnp
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main(num_envs: int = 4000, warmup: int = 2, iters: int = 5):
+def main(num_envs: int = 4000, warmup: int = 3, iters: int = 20):
     from walk_these_ways_tpu.go1_config import mob_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn import ppo as ppo_mod
@@ -44,12 +44,15 @@ def main(num_envs: int = 4000, warmup: int = 2, iters: int = 5):
 
     for _ in range(warmup):
         env_state, obs_dict, ts, metrics = train_iter(env_state, obs_dict, ts)
-    jax.block_until_ready(metrics.value_loss)
+    # block on the FULL result tree: blocking on a single leaf has been
+    # observed to return before the chain finished executing under the
+    # axon runtime, inflating the measurement ~100x
+    jax.block_until_ready((env_state, ts, metrics))
 
     t0 = time.perf_counter()
     for _ in range(iters):
         env_state, obs_dict, ts, metrics = train_iter(env_state, obs_dict, ts)
-    jax.block_until_ready(metrics.value_loss)
+    jax.block_until_ready((env_state, ts, metrics))
     dt = time.perf_counter() - t0
 
     steps_per_s = iters * num_steps * num_envs / dt

@@ -41,7 +41,7 @@ def test_cache_kernel_matches_xla():
     pal_params = dataclasses.replace(xla_params, use_pallas_contact=True)
     c_x = eng.build_dynamics_cache(model, xla_params, state, dyn)
     c_p = eng.build_dynamics_cache(model, pal_params, state, dyn)
-    J_t, Lam_t, Minv_t, rh_t, mu_t, e_t, p_cp_t, block = c_p.pallas_ops
+    J_t, Lam_t = c_p.pallas_ops.J_t, c_p.pallas_ops.Lam_t
     P = model.cp_body.shape[0]
     J_back = pc.from_env_minor(
         jnp.transpose(J_t, (0, 1, 2, 3)), n)        # (n, P, 3, nv)
@@ -93,12 +93,16 @@ def test_env_step_pallas_matches_xla():
     from walk_these_ways_tpu.go1_config import mob_train_cfg
 
     n = 8
-    cfg = mob_train_cfg(num_envs=n)
-    cfg_p = dataclasses.replace(
-        cfg, sim=dataclasses.replace(cfg.sim, use_pallas_contact=True))
+    cfg_p = mob_train_cfg(num_envs=n)          # pallas on by default
+    # (explicitly force the XLA solver for the reference side — the MoB
+    # config defaults to the Pallas path, so without this the test would
+    # compare pallas against itself)
+    cfg = dataclasses.replace(
+        cfg_p, sim=dataclasses.replace(cfg_p.sim, use_pallas_contact=False))
     env_x = LeggedRobotEnv(cfg)
     env_p = LeggedRobotEnv(cfg_p)
     assert env_p.sim_params.use_pallas_contact
+    assert not env_x.sim_params.use_pallas_contact
 
     sx, ox = env_x.reset(jax.random.PRNGKey(0))
     sp, op = env_p.reset(jax.random.PRNGKey(0))

@@ -636,7 +636,7 @@ class LeggedRobotEnv:
         if cfg.sim.reuse_matrices and self.sim_params.use_pallas_contact:
             cache = engine.build_dynamics_cache(
                 m, self.sim_params, state.phys, dyn)
-            p_cp0_t = cache.pallas_ops[6]
+            p_cp0_t = cache.pallas_ops.p_cp_t
 
             def substep(carry, _):
                 st, p_cp_t, _, lam_prev = carry

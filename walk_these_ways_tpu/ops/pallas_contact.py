@@ -158,26 +158,95 @@ def build_contact_cache_pallas(anc, Sw_t, Sv_t, Minv_t, r_t,
 # -- substep kernel: targets + projected Jacobi + point advance -------------
 
 
-def _substep_kernel(j_ref, lam33_ref, minv_ref, pcp_ref, gv_ref, rh_ref,
-                    mu_ref, e_ref, vlim_ref,
-                    gv_out_ref, pcp_out_ref, lam_out_ref, *,
-                    P: int, nv: int, num_iters: int, relaxation: float,
-                    dt: float, baumgarte: float, slop: float,
-                    max_depen: float, bounce_thresh: float):
-    J = j_ref[:]            # (P, 3, nv, B)
-    Lam = lam33_ref[:]      # (P, 9, B)
-    Minv = minv_ref[:]      # (nv, nv, B)
-    p_cp = pcp_ref[:]       # (P, 3, B)
-    gv0 = gv_ref[:]         # (nv, B)
-    rh = rh_ref[:]          # (P, B)  radius + h0 per point
-    mu = mu_ref[:]          # (1, B)
-    e = e_ref[:]            # (1, B)
-    vlim = vlim_ref[:]      # (nv, 1) velocity bounds (base caps + dof limits)
+def point_dof_groups(anc_p):
+    """Static point->dof coupling structure from the (P, nv) ancestor mask:
+    contiguous point runs touching only the base dofs [0, 6) plus at most
+    one contiguous joint range.  On a quadruped: 8 trunk points (base
+    only) + 4 legs x 5 points (base + that leg's 3 dofs) — so the dense
+    (P, 3, nv) contractions in the solver loop carry ~2.2x static zeros.
+    Returns [(p_lo, p_hi, dof_lo, dof_hi)] with dof_lo=None for
+    base-only runs."""
+    anc_p = np.asarray(anc_p).astype(bool)
+    P, nv = anc_p.shape
+    groups = []
+    s = 0
+    for p in range(1, P + 1):
+        if p == P or (anc_p[p] != anc_p[s]).any():
+            joint = np.nonzero(anc_p[s][6:])[0]
+            if joint.size == 0:
+                groups.append((s, p, None, None))
+            else:
+                lo, hi = 6 + int(joint[0]), 6 + int(joint[-1]) + 1
+                assert (anc_p[s][lo:hi]).all(), "non-contiguous dof range"
+                groups.append((s, p, lo, hi))
+            s = p
+    # merge same-joint-range neighbors (thigh [lo,lo+2) + calf [lo,lo+3)
+    # runs of one leg) into one run over the union range — zeros inside the
+    # union are still skipped relative to the dense (P, nv) contraction
+    merged = [groups[0]]
+    for (s, p, lo, hi) in groups[1:]:
+        ms, mp, mlo, mhi = merged[-1]
+        if lo is not None and mlo is not None and \
+                max(lo, mlo) < min(hi, mhi):
+            merged[-1] = (ms, p, min(lo, mlo), max(hi, mhi))
+        else:
+            merged.append((s, p, lo, hi))
+    return merged
+
+
+def contact_core(J, Lam, Minv, p_cp, gv0, rh, mu, e, vlim, *,
+                 num_iters: int, relaxation: float, dt: float,
+                 baumgarte: float, slop: float, max_depen: float,
+                 bounce_thresh: float, groups=None):
+    """Shared in-kernel contact pipeline (gaps -> targets -> projected
+    Jacobi -> point advance) on env-minor VMEM values.  Called from the
+    contact-only substep kernel below and from the full dynamics substep
+    kernel (ops/pallas_dynamics.py).  `groups` is the static
+    point_dof_groups structure; when given, the J contractions in the
+    solver loop skip the statically-zero (point, dof) blocks.
+    Returns (gv_new, p_cp_new, lam)."""
+    P = p_cp.shape[0]
+    nv = gv0.shape[0]
     B = gv0.shape[-1]
 
-    def jdot(gv):
-        """(P, 3, B) contact point velocities."""
-        return jnp.sum(J * gv[None, None, :, :], axis=2)
+    if groups is None:
+        def jdot(gv):
+            """(P, 3, B) contact point velocities."""
+            return jnp.sum(J * gv[None, None, :, :], axis=2)
+
+        def jt_apply(applied):
+            """(nv, B) generalized impulse J^T applied."""
+            return jnp.sum(J * applied[:, :, None, :], axis=(0, 1))
+    else:
+        # NOTE slice-then-expand_dims everywhere: a nonzero-start slice
+        # combined with None indexing takes jnp's advanced path and emits
+        # a gather Mosaic cannot lower
+        def jdot(gv):
+            outs = []
+            for (s, p, lo, hi) in groups:
+                t = jnp.sum(J[s:p, :, 0:6, :] * gv[0:6][None, None],
+                            axis=2)
+                if lo is not None:
+                    t = t + jnp.sum(J[s:p, :, lo:hi, :]
+                                    * gv[lo:hi][None, None], axis=2)
+                outs.append(t)
+            return jnp.concatenate(outs, axis=0)
+
+        def jt_apply(applied):
+            base = jnp.sum(J[:, :, 0:6, :] * applied[:, :, None, :],
+                           axis=(0, 1))                       # (6, B)
+            parts = [base]
+            pos = 6
+            for (s, p, lo, hi) in groups:
+                if lo is None:
+                    continue
+                assert lo == pos, "joint ranges must tile [6, nv)"
+                parts.append(jnp.sum(J[s:p, :, lo:hi, :]
+                                     * applied[s:p][:, :, None, :],
+                                     axis=(0, 1)))
+                pos = hi
+            assert pos == nv
+            return jnp.concatenate(parts, axis=0)
 
     # gaps and velocity targets (flat ground, n = +z)
     phi = rh - p_cp[:, 2, :]                               # (P, B)
@@ -216,18 +285,33 @@ def _substep_kernel(j_ref, lam33_ref, minv_ref, pcp_ref, gv_ref, rh_ref,
         new_lam = jnp.stack([lx, ly, lz], axis=1)          # (P, 3, B)
         applied = new_lam - lam
         # lazy impulse apply: gv += M^-1 (J^T applied)
-        jta = jnp.sum(J * applied[:, :, None, :], axis=(0, 1))   # (nv, B)
+        jta = jt_apply(applied)                                  # (nv, B)
         dgv = jnp.sum(Minv * jta[None, :, :], axis=1)            # (nv, B)
         return new_lam, gv + dgv
 
     lam0 = jnp.zeros((P, 3, B), J.dtype)
     lam, gv = jax.lax.fori_loop(0, num_iters, body, (lam0, gv0))
-    gv_out_ref[:] = gv
-    lam_out_ref[:] = lam
     # advance with the clamped velocities the integrator will apply
     # (engine.py clamps qd to the URDF limits and the base to its caps)
     gv_cl = jnp.clip(gv, -vlim, vlim)
-    pcp_out_ref[:] = p_cp + dt * jdot(gv_cl)
+    return gv, p_cp + dt * jdot(gv_cl), lam
+
+
+def _substep_kernel(j_ref, lam33_ref, minv_ref, pcp_ref, gv_ref, rh_ref,
+                    mu_ref, e_ref, vlim_ref,
+                    gv_out_ref, pcp_out_ref, lam_out_ref, *,
+                    P: int, nv: int, num_iters: int, relaxation: float,
+                    dt: float, baumgarte: float, slop: float,
+                    max_depen: float, bounce_thresh: float):
+    gv, pcp, lam = contact_core(
+        j_ref[:], lam33_ref[:], minv_ref[:], pcp_ref[:], gv_ref[:],
+        rh_ref[:], mu_ref[:], e_ref[:], vlim_ref[:],
+        num_iters=num_iters, relaxation=relaxation, dt=dt,
+        baumgarte=baumgarte, slop=slop, max_depen=max_depen,
+        bounce_thresh=bounce_thresh)
+    gv_out_ref[:] = gv
+    pcp_out_ref[:] = pcp
+    lam_out_ref[:] = lam
 
 
 def contact_substep_pallas(J_t, Lam_t, Minv_t, pcp_t, gv_t, rh_t, mu_t, e_t,

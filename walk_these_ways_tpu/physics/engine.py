@@ -527,6 +527,27 @@ def _impulse_iteration(params: SimParams, J, MinvJT_p, Lam, n_srf, target_n,
 # ---------------------------------------------------------------------------
 
 
+class PallasOps(NamedTuple):
+    """Env-minor cache operands for the Pallas substep kernel
+    (ops/pallas_dynamics.py); built once per control step by
+    physics/envminor.py + the contact-cache kernel."""
+
+    J_t: jnp.ndarray       # (P, 3, nv, Npad)
+    Lam_t: jnp.ndarray     # (P, 9, Npad)
+    Minv_t: jnp.ndarray    # (nv, nv, Npad)
+    rh_t: jnp.ndarray      # (P, Npad) radius + terrain height per point
+    mu_t: jnp.ndarray      # (1, Npad)
+    e_t: jnp.ndarray       # (1, Npad)
+    p_cp_t: jnp.ndarray    # (P, 3, Npad)
+    Sw_t: jnp.ndarray      # (nv, 3, Npad)
+    Sv_t: jnp.ndarray      # (nv, 3, Npad)
+    A_t: jnp.ndarray       # (nb, 9, Npad)
+    B_t: jnp.ndarray       # (nb, 9, Npad)
+    m_t: jnp.ndarray       # (nb, Npad)
+    g_t: jnp.ndarray       # (3, Npad)
+    block: int = 256
+
+
 class DynamicsCache(NamedTuple):
     """Per-control-step cached dynamics quantities, anchored at the first
     substep's geometry.  M(q)/M^-1, twist bases, inertia blocks, and contact
@@ -534,31 +555,61 @@ class DynamicsCache(NamedTuple):
     control step; reusing them for the remaining decimation substeps trades
     a small geometric lag for skipping the most expensive contractions.
     Enabled via Cfg.sim.reuse_matrices (off by default = exact per-substep
-    recomputation like PhysX)."""
+    recomputation like PhysX).
+
+    In Pallas mode (SimParams.use_pallas_contact) the whole cache is built
+    env-minor (physics/envminor.py) and only `ref` + `pallas_ops` are
+    populated — the N-major tensors never exist."""
 
     ref: jnp.ndarray          # (N, 3) anchor reference point
-    Sw: jnp.ndarray
-    Sv: jnp.ndarray
-    blk: InertiaBlocks
-    Minv: jnp.ndarray
-    J: jnp.ndarray            # (N, P, 3, nv)
-    MinvJT_p: jnp.ndarray     # (N, P, nv, 3)
-    Lam: jnp.ndarray          # (N, P, 3, 3)
-    p_cp: jnp.ndarray         # (N, P, 3) contact point world positions at
+    Sw: jnp.ndarray = None
+    Sv: jnp.ndarray = None
+    blk: InertiaBlocks = None
+    Minv: jnp.ndarray = None
+    J: jnp.ndarray = None     # (N, P, 3, nv)
+    MinvJT_p: jnp.ndarray = None   # (N, P, nv, 3)
+    Lam: jnp.ndarray = None   # (N, P, 3, 3)
+    p_cp: jnp.ndarray = None  # (N, P, 3) contact point world positions at
     # the anchor state — integrated at velocity level across the control
     # step's substeps (p' = p + dt J qd) instead of re-running FK, the same
     # first-order-in-dt approximation reuse mode already makes for J/M
-    # env-minor pre-transposed operands for the Pallas contact kernel
-    # (populated only when SimParams.use_pallas_contact)
-    pallas_ops: tuple = ()
+    pallas_ops: PallasOps = None
 
 
 def build_dynamics_cache(model: RobotModel, params: SimParams,
                          state: PhysicsState, dyn: DynamicsParams) -> DynamicsCache:
     f32 = state.base_pos.dtype
     N = state.base_pos.shape[0]
-    frames = forward_kinematics(model, state)
     ref = state.base_pos
+    if params.use_pallas_contact:
+        # env-minor pipeline: FK/inertia/CRBA/M^-1 in scalar-per-env form
+        # (physics/envminor.py), J/Lam in the Pallas cache kernel — no
+        # N-major dynamics tensor is ever materialized
+        from ..ops import pallas_contact as pc
+        from . import envminor
+        interpret = jax.default_backend() != "tpu"
+        block = 256
+        em = envminor.build_cache_envminor(model, state, dyn, block)
+        P = model.cp_body.shape[0]
+        anc_pn = jnp.asarray(model.anc_dof_body[:, model.cp_body].T,
+                             dtype=f32)                      # (P, nv)
+        J_t, Lam_t = pc.build_contact_cache_pallas(
+            anc_pn, em.Sw_t, em.Sv_t, em.Minv_t, em.r_t, block=block,
+            interpret=interpret)
+        # per-point radius + terrain height (flat fast path => h constant)
+        radius = jnp.asarray(model.cp_radius, dtype=f32)
+        Npad = em.Sw_t.shape[-1]
+        rh_t = jnp.broadcast_to(radius[:, None], (P, Npad))
+        mu_t = pc.to_env_minor(0.5 * (dyn.friction[:, None] + 1.0), block)
+        e_t = pc.to_env_minor(dyn.restitution[:, None], block)
+        g_t = pc.to_env_minor(dyn.gravity, block)
+        pallas_ops = PallasOps(
+            J_t=J_t, Lam_t=Lam_t, Minv_t=em.Minv_t, rh_t=rh_t, mu_t=mu_t,
+            e_t=e_t, p_cp_t=em.p_cp_t, Sw_t=em.Sw_t, Sv_t=em.Sv_t,
+            A_t=em.A_t, B_t=em.B_t, m_t=em.m_t, g_t=g_t, block=block)
+        return DynamicsCache(ref=ref, pallas_ops=pallas_ops)
+
+    frames = forward_kinematics(model, state)
     Sw, Sv = joint_twists(model, frames, ref)
     blk = inertia_blocks(model, frames, ref, dyn)
     M = mass_matrix(model, Sw, Sv, blk)
@@ -582,34 +633,8 @@ def build_dynamics_cache(model: RobotModel, params: SimParams,
     MinvJT_p = _einsum("nvw,npiw->npvi", Minv, J)
     W = _einsum("npiv,npvj->npij", J, MinvJT_p) + 1e-6 * jnp.eye(3, dtype=f32)
     Lam = la.inv3(W)
-    pallas_ops = ()
-    if params.use_pallas_contact:
-        # env-minor contact pipeline (ops/pallas_contact.py): J/Lam built in
-        # a Pallas kernel; the N-major J/MinvJT/W/Lam above become dead code
-        # XLA eliminates (only the non-pallas path consumes them)
-        from ..ops import pallas_contact as pc
-        interpret = jax.default_backend() != "tpu"
-        block = 256
-        Sw_t = pc.to_env_minor(Sw, block)
-        Sv_t = pc.to_env_minor(Sv, block)
-        Minv_t = pc.to_env_minor(Minv, block)
-        r_t = pc.to_env_minor(p_cp - ref[:, None, :], block)
-        anc_pn = jnp.asarray(model.anc_dof_body[:, model.cp_body].T,
-                             dtype=f32)                      # (P, nv)
-        J_t, Lam_t = pc.build_contact_cache_pallas(
-            anc_pn, Sw_t, Sv_t, Minv_t, r_t, block=block,
-            interpret=interpret)
-        # per-point radius + terrain height (flat fast path => h constant)
-        radius = jnp.asarray(model.cp_radius, dtype=f32)
-        Npad = Sw_t.shape[-1]
-        rh_t = jnp.broadcast_to(radius[:, None], (P, Npad))
-        mu_t = pc.to_env_minor(0.5 * (dyn.friction[:, None] + 1.0), block)
-        e_t = pc.to_env_minor(dyn.restitution[:, None], block)
-        p_cp_t = pc.to_env_minor(p_cp, block)
-        pallas_ops = (J_t, Lam_t, Minv_t, rh_t, mu_t, e_t, p_cp_t, block)
     return DynamicsCache(ref=ref, Sw=Sw, Sv=Sv, blk=blk, Minv=Minv, J=J,
-                         MinvJT_p=MinvJT_p, Lam=Lam, p_cp=p_cp,
-                         pallas_ops=pallas_ops)
+                         MinvJT_p=MinvJT_p, Lam=Lam, p_cp=p_cp)
 
 
 def physics_substep_cached(
@@ -636,9 +661,6 @@ def physics_substep_cached(
     delta = ref - state.base_pos
     v_ref = state.base_lin_vel + jnp.cross(state.base_ang_vel, delta)
     gen_vel = jnp.concatenate([state.base_ang_vel, v_ref, state.qd], axis=-1)
-    Vw, Vv = body_twists(model, cache.Sw, cache.Sv, gen_vel)
-    bias = bias_forces(model, cache.Sw, cache.Sv, Vw, Vv, cache.blk,
-                       gen_vel, dyn.gravity)
 
     lo = jnp.asarray(model.dof_lower, dtype=f32)
     hi = jnp.asarray(model.dof_upper, dtype=f32)
@@ -650,36 +672,50 @@ def physics_substep_cached(
     tau = jnp.concatenate(
         [jnp.zeros((N, 6), f32), joint_torques + tau_lim], axis=-1)
 
-    qdd = _einsum("nij,nj->ni", cache.Minv, tau - bias)
-    qdd = qdd.at[:, 3:6].add(jnp.cross(state.base_ang_vel, v_ref))
-    gen_vel_free = gen_vel + dt * qdd
-
-    use_pallas = bool(params.use_pallas_contact and cache.pallas_ops
-                      and params.contact_enabled)
-    if p_cp is None:
-        p_cp = cache.pallas_ops[6] if use_pallas else cache.p_cp
+    use_pallas = bool(params.use_pallas_contact
+                      and cache.pallas_ops is not None)
     lam_t = None
     if use_pallas:
-        # env-minor Pallas pipeline: gaps/targets/iterations/point-advance
-        # all in one VMEM-resident kernel (ops/pallas_contact.py); `p_cp`
+        # full env-minor substep in one VMEM kernel: twists + bias + qdd +
+        # contact solve + point advance (ops/pallas_dynamics.py); `p_cp`
         # is carried env-minor (P, 3, Npad), lam returned env-minor too
         from ..ops import pallas_contact as pc
-        J_t, Lam_t, Minv_t, rh_t, mu_t, e_t, _, block = cache.pallas_ops
-        gv_t = pc.to_env_minor(gen_vel_free, block)
+        from ..ops import pallas_dynamics as pd
+        po = cache.pallas_ops
+        if p_cp is None:
+            p_cp = po.p_cp_t
+        gv_t = pc.to_env_minor(gen_vel, po.block)
+        tau_t = pc.to_env_minor(tau, po.block)
         vlim = jnp.concatenate([
             jnp.full((3,), params.max_base_ang_vel, f32),
             jnp.full((3,), params.max_base_lin_vel, f32),
             jnp.asarray(model.dof_vel_limit, dtype=f32)])[:, None]
-        gv_new_t, p_cp, lam_t = pc.contact_substep_pallas(
-            J_t, Lam_t, Minv_t, p_cp, gv_t, rh_t, mu_t, e_t, vlim,
-            num_iters=params.num_contact_iters,
-            relaxation=params.relaxation, dt=dt,
+        gv_new_t, p_cp, lam_t = pd.dynamics_substep_pallas(
+            po.Sw_t, po.Sv_t, po.A_t, po.B_t, po.m_t, po.Minv_t, po.g_t,
+            tau_t, gv_t, po.J_t, po.Lam_t, p_cp, po.rh_t, po.mu_t, po.e_t,
+            vlim, anc=model.anc_dof_body, joint_body=model.joint_body,
+            cp_body=model.cp_body,
+            dt=dt, num_iters=params.num_contact_iters,
+            relaxation=params.relaxation,
             baumgarte=params.contact_baumgarte, slop=params.contact_slop,
             max_depen=params.max_depenetration_velocity,
-            bounce_thresh=params.bounce_threshold_velocity, block=block,
+            bounce_thresh=params.bounce_threshold_velocity,
+            contact=bool(params.contact_enabled), block=po.block,
             interpret=jax.default_backend() != "tpu")
         gen_vel_new = pc.from_env_minor(gv_new_t, N)
         cp_forces = None          # materialized lazily from lam_t by caller
+        gen_vel_free = None
+    else:
+        Vw, Vv = body_twists(model, cache.Sw, cache.Sv, gen_vel)
+        bias = bias_forces(model, cache.Sw, cache.Sv, Vw, Vv, cache.blk,
+                           gen_vel, dyn.gravity)
+        qdd = _einsum("nij,nj->ni", cache.Minv, tau - bias)
+        qdd = qdd.at[:, 3:6].add(jnp.cross(state.base_ang_vel, v_ref))
+        gen_vel_free = gen_vel + dt * qdd
+        if p_cp is None:
+            p_cp = cache.p_cp
+    if use_pallas:
+        pass
     elif params.contact_enabled:
         # fresh contact gaps from the velocity-integrated point estimate;
         # cached J/Lam
