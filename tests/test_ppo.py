@@ -1,6 +1,8 @@
 """PPO component tests: GAE against a numpy oracle mirroring the reference
 reverse scan (rollout_storage.py:76-90), log-prob/entropy oracles, and a
 full train-iteration smoke + checkpoint roundtrip."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -229,3 +231,40 @@ def test_train_eval_env_split():
                                                 eval_expert=True))
     es, obs, ts, m = it_t(es, obs, ts)
     assert np.isfinite(float(m.surrogate_loss))
+
+
+def test_runner_log_keys_and_video(tmp_path):
+    """Runner.learn writes the reference's episode-log diagnostics
+    (min/max command channels + actions, legged_robot.py:203-227) into
+    metrics.jsonl and renders a rollout video at render_interval
+    (ppo_cse/__init__.py:277-296)."""
+    import glob
+    import json
+
+    from walk_these_ways_tpu.go1_config import small_train_cfg
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+    from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
+
+    cfg = small_train_cfg(num_envs=8)
+    env = LeggedRobotEnv(cfg)
+    runner = Runner(env, log_dir=str(tmp_path),
+                    args=RunnerArgs(num_steps_per_env=4, max_iterations=2,
+                                    log_freq=2, save_interval=1000,
+                                    curriculum_dump_freq=1000,
+                                    render_interval=2, render_steps=3))
+    runner.learn(num_learning_iterations=2)
+    rows = [json.loads(l) for l in
+            open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert rows, "no metrics rows written"
+    row = rows[-1]
+    for key in ("train/episode/min_command_x_vel",
+                "train/episode/max_command_duration",
+                "train/episode/min_action",
+                "train/episode/max_action"):
+        assert key in row, f"missing diagnostic {key}"
+        assert np.isfinite(row[key])
+    assert row["train/episode/min_command_x_vel"] <= \
+        row["train/episode/max_command_x_vel"]
+    videos = glob.glob(str(tmp_path / "videos" / "*.gif"))
+    assert videos, "no rollout video rendered at render_interval"
+    assert os.path.getsize(videos[0]) > 0

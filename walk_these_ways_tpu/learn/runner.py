@@ -133,6 +133,22 @@ class Runner:
                                              float(m.curriculum_area[c])})
                 pending = []
                 extra = {"iterations": it + 1, "timesteps": self.tot_timesteps}
+                # command/action range diagnostics at the same sync point
+                # (reference legged_robot.py:203-227 logs min/max of each
+                # command channel and of the actions every episode-log)
+                n_tr = self.env.num_train_envs
+                cmds = np.asarray(self.env_state.commands[:n_tr])
+                acts = np.asarray(self.env_state.actions[:n_tr])
+                for key, col in (("duration", 8), ("bound", 7),
+                                 ("offset", 6), ("phase", 5), ("freq", 4),
+                                 ("x_vel", 0), ("y_vel", 1), ("yaw_vel", 2),
+                                 ("swing_height", 9)):
+                    extra[f"train/episode/min_command_{key}"] = \
+                        float(cmds[:, col].min())
+                    extra[f"train/episode/max_command_{key}"] = \
+                        float(cmds[:, col].max())
+                extra["train/episode/min_action"] = float(acts.min())
+                extra["train/episode/max_action"] = float(acts.max())
                 if ep_count_acc > 0:
                     for i, name in enumerate(term_names):
                         extra[f"train/episode/rew_{name}/mean"] = (
