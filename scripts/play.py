@@ -40,7 +40,8 @@ def load_policy(path):
     return policy
 
 
-def play_go1(policy_path: str, steps: int = 250):
+def play_go1(policy_path: str, steps: int = 250, plot: bool = False,
+             plot_path: str = None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -77,7 +78,7 @@ def play_go1(policy_path: str, steps: int = 250):
     state, obs = env.reset(jax.random.PRNGKey(42))
     step = jax.jit(env.step)
     pol = jax.jit(policy)
-    xs, vxs = [], []
+    xs, vxs, qs = [], [], []
     for i in range(steps):
         state = state._replace(
             commands=jnp.asarray(cmd)[None, :].repeat(1, 0))
@@ -88,11 +89,37 @@ def play_go1(policy_path: str, steps: int = 250):
             state.phys.base_quat, state.phys.base_lin_vel)
         vxs.append(float(v_body[0, 0]))
         xs.append(float(state.phys.base_pos[0, 0]))
+        qs.append(np.asarray(state.phys.q[0]))
     import numpy as np
     vxs = np.array(vxs)
+    qs = np.stack(qs)
     print(f"mean body-frame vx over rollout: {vxs.mean():.3f} m/s (target 1.5)")
     print(f"distance covered: {abs(xs[-1] - xs[0]):.2f} m along world-x "
           f"in {steps*env.dt:.1f} s (spawn yaw is randomized)")
+    if plot:
+        # measured-vs-desired velocity + joint positions figure
+        # (reference play.py:140-157)
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+        t = np.linspace(0, steps * env.dt, steps)
+        fig, axs = plt.subplots(2, 1, figsize=(12, 5))
+        axs[0].plot(t, vxs, color="black", linestyle="-", label="Measured")
+        axs[0].plot(t, np.full(steps, cmd[0]), color="black",
+                    linestyle="--", label="Desired")
+        axs[0].legend()
+        axs[0].set_title("Forward Linear Velocity")
+        axs[0].set_xlabel("Time (s)")
+        axs[0].set_ylabel("Velocity (m/s)")
+        axs[1].plot(t, qs, linestyle="-")
+        axs[1].set_title("Joint Positions")
+        axs[1].set_xlabel("Time (s)")
+        axs[1].set_ylabel("Joint Position (rad)")
+        plt.tight_layout()
+        out = plot_path or os.path.join(
+            os.path.dirname(policy_path) or ".", "play_rollout.png")
+        plt.savefig(out, dpi=120)
+        print(f"saved rollout figure to {out}")
     return vxs
 
 
@@ -101,5 +128,8 @@ if __name__ == "__main__":
     p.add_argument("--policy", type=str,
                    default="runs/latest/checkpoints/policy_latest.npz")
     p.add_argument("--steps", type=int, default=250)
+    p.add_argument("--plot", action="store_true",
+                   help="save the reference play.py velocity/joint figure")
+    p.add_argument("--plot-path", type=str, default=None)
     a = p.parse_args()
-    play_go1(a.policy, a.steps)
+    play_go1(a.policy, a.steps, plot=a.plot, plot_path=a.plot_path)

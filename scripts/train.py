@@ -16,10 +16,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
               num_eval_envs: int = 0, eval_expert: bool = False,
-              algo: str = "cse"):
+              algo: str = "cse", use_mesh: bool = False,
+              multihost: bool = False):
     from walk_these_ways_tpu.go1_config import mob_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
+    from walk_these_ways_tpu.parallel import mesh as mesh_mod
+
+    mesh = None
+    if multihost or use_mesh:
+        if multihost:
+            # join the pod-slice cluster first so the mesh spans every
+            # host's chips (env axis over ICI within a host, DCN across)
+            mesh_mod.maybe_init_distributed()
+        mesh = mesh_mod.make_mesh()
+        import jax
+        assert num_envs % len(mesh.devices.flat) == 0, \
+            "num_envs must divide the device count"
+        print(f"mesh: {len(mesh.devices.flat)} devices, "
+              f"process {jax.process_index()}/{jax.process_count()}")
 
     cfg = mob_train_cfg(num_envs=num_envs)
     eval_cfg = mob_train_cfg(num_envs=num_eval_envs) if num_eval_envs else None
@@ -27,7 +42,7 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
     runner = Runner(env, log_dir=log_dir, seed=seed,
                     args=RunnerArgs(max_iterations=iterations,
                                     eval_expert=eval_expert),
-                    algo=algo)
+                    algo=algo, mesh=mesh)
     runner.learn(num_learning_iterations=iterations,
                  init_at_random_ep_len=True)
 
@@ -47,10 +62,16 @@ if __name__ == "__main__":
                    help="cse = concurrent state estimation (reference "
                         "ppo_cse, default); rma = teacher-student with "
                         "env-factor encoder (reference ppo/)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard envs over all local devices "
+                        "(jax.sharding.Mesh, GSPMD collectives)")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize() first, then mesh "
+                        "over every host's devices (DCN + ICI)")
     a = p.parse_args()
     log_dir = a.log_dir or os.path.join(
         "runs", "gait-conditioned-agility",
         datetime.now().strftime("%Y-%m-%d/train/%H%M%S"))
     train_go1(a.num_envs, a.iterations, log_dir, a.seed,
               num_eval_envs=a.num_eval_envs, eval_expert=a.eval_expert,
-              algo=a.algo)
+              algo=a.algo, use_mesh=a.mesh, multihost=a.multihost)

@@ -51,12 +51,17 @@ class Runner:
     def __init__(self, env, log_dir: str = "./runs/latest", seed: int = 1,
                  args: RunnerArgs = RunnerArgs(),
                  ppo_args: ppo_mod.PPO_Args = ppo_mod.PPO_Args(),
-                 algo: str = "cse"):
+                 algo: str = "cse", mesh=None):
         """algo: 'cse' (concurrent state estimation, the default trainer,
         reference ppo_cse/) or 'rma' (teacher-student with env-factor
         encoder, reference ppo/).  Both variants emit the same IterMetrics
-        so logging/checkpoint/export below are shared."""
+        so logging/checkpoint/export below are shared.
+
+        mesh: optional jax.sharding.Mesh with an 'env' axis — env state is
+        sharded on it and learner state replicated; GSPMD inserts the
+        collectives (parallel/mesh.py).  num_envs must divide the axis."""
         self.env = env
+        self.mesh = mesh
         self.args = args
         self.ppo_args = ppo_args
         self.algo = algo
@@ -69,6 +74,7 @@ class Runner:
             raise ValueError(f"unknown algo {algo!r} (want 'cse' or 'rma')")
         self.log_dir = log_dir
         self.logger = MetricsLogger(log_dir)
+        self._write_chart_spec()
 
         rng = jax.random.PRNGKey(seed)
         k_ts, self._reset_key = jax.random.split(rng)
@@ -89,6 +95,14 @@ class Runner:
         if self.env_state is None:
             self.env_state, self.obs_dict = self.env.reset(
                 self._reset_key, random_episode_lengths=init_at_random_ep_len)
+            if self.mesh is not None:
+                from ..parallel import mesh as mesh_mod
+                self.env_state = mesh_mod.shard_env_state(
+                    self.env_state, self.mesh, self.env.num_envs)
+                self.obs_dict = mesh_mod.shard_env_state(
+                    self.obs_dict, self.mesh, self.env.num_envs)
+                self.train_state = mesh_mod.replicate(
+                    self.train_state, self.mesh)
 
         term_names = list(self.env.reward_names) + ["total"]
         ep_sums_acc = np.zeros(len(term_names))
@@ -191,6 +205,29 @@ class Runner:
                                "train_state_last.pkl"))
         self.export_policy(os.path.join(self.log_dir, "checkpoints"))
         return self.train_state
+
+    def _write_chart_spec(self):
+        """Dashboard chart spec in the run dir (the reference writes
+        .charts.yml for ml_dash, scripts/train.py:227-253; here any
+        plotting frontend can consume it against metrics.jsonl)."""
+        keys = ["train/episode/rew_total/mean",
+                "train/episode/rew_tracking_lin_vel/mean",
+                "train/episode/rew_tracking_contacts_shaped_force/mean",
+                "train/episode/rew_action_smoothness_1/mean",
+                "train/episode/rew_action_smoothness_2/mean",
+                "train/episode/rew_tracking_contacts_shaped_vel/mean",
+                "train/episode/rew_orientation_control/mean",
+                "train/episode/rew_dof_pos/mean",
+                "command_area_trot",
+                "train/episode/mean_episode_length",
+                "adaptation_loss"]
+        lines = ["charts:"]
+        for k in keys:
+            lines += [f"- yKey: {k}", "  xKey: iterations"]
+        lines += ["- type: video", '  glob: "videos/*.gif"', ""]
+        os.makedirs(self.log_dir, exist_ok=True)
+        with open(os.path.join(self.log_dir, ".charts.yml"), "w") as f:
+            f.write("\n".join(lines))
 
     def dump_curriculum(self, it: int):
         """Dump the curriculum weight grids and per-bin episode task-reward

@@ -23,6 +23,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host entry: join the jax runtime cluster so jax.devices()
+    spans every host's chips and the env mesh axis crosses DCN.
+
+    Uses jax.distributed.initialize()'s autodetection (TPU pod metadata,
+    or JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env
+    vars).  Idempotent: a second call is a no-op, and a single-process
+    run without coordinator config falls through silently so the same
+    scripts/train.py invocation works on one chip and on a pod slice."""
+    try:
+        jax.distributed.initialize()
+    except (ValueError, RuntimeError):
+        pass  # already initialized, or single-process with no coordinator
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "env") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
