@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
               num_eval_envs: int = 0, eval_expert: bool = False,
               algo: str = "cse", use_mesh: bool = False,
-              multihost: bool = False):
+              multihost: bool = False, exact: bool = False):
     from walk_these_ways_tpu.go1_config import mob_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
@@ -38,6 +38,16 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
 
     cfg = mob_train_cfg(num_envs=num_envs)
     eval_cfg = mob_train_cfg(num_envs=num_eval_envs) if num_eval_envs else None
+    if exact:
+        # exact per-substep dynamics (no matrix reuse); still on the
+        # Pallas pipeline on flat ground
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, sim=dataclasses.replace(cfg.sim, reuse_matrices=False))
+        if eval_cfg is not None:
+            eval_cfg = dataclasses.replace(
+                eval_cfg,
+                sim=dataclasses.replace(eval_cfg.sim, reuse_matrices=False))
     env = LeggedRobotEnv(cfg, eval_cfg=eval_cfg)
     runner = Runner(env, log_dir=log_dir, seed=seed,
                     args=RunnerArgs(max_iterations=iterations,
@@ -68,10 +78,13 @@ if __name__ == "__main__":
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize() first, then mesh "
                         "over every host's devices (DCN + ICI)")
+    p.add_argument("--exact", action="store_true",
+                   help="exact per-substep dynamics (reuse_matrices off)")
     a = p.parse_args()
     log_dir = a.log_dir or os.path.join(
         "runs", "gait-conditioned-agility",
         datetime.now().strftime("%Y-%m-%d/train/%H%M%S"))
     train_go1(a.num_envs, a.iterations, log_dir, a.seed,
               num_eval_envs=a.num_eval_envs, eval_expert=a.eval_expert,
-              algo=a.algo, use_mesh=a.mesh, multihost=a.multihost)
+              algo=a.algo, use_mesh=a.mesh, multihost=a.multihost,
+              exact=a.exact)

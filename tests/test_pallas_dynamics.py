@@ -146,3 +146,37 @@ def test_substep_kernel_contact_disabled():
     for name, a, b in zip(s_x._fields, s_x, s_p):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=2e-4, err_msg=name)
+
+
+def test_env_step_exact_pallas_matches_exact_xla():
+    """Exact mode (reuse_matrices=False: fresh FK/CRBA/M^-1/J per substep)
+    on the Pallas pipeline == the exact XLA path (engine.physics_substep),
+    full env.step."""
+    import jax
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+    from walk_these_ways_tpu.go1_config import mob_train_cfg
+
+    n = 8
+    base = mob_train_cfg(num_envs=n)
+    cfg_p = dataclasses.replace(
+        base, sim=dataclasses.replace(base.sim, reuse_matrices=False,
+                                      use_pallas_contact=True))
+    cfg_x = dataclasses.replace(
+        cfg_p, sim=dataclasses.replace(cfg_p.sim, use_pallas_contact=False))
+    env_p = LeggedRobotEnv(cfg_p)
+    env_x = LeggedRobotEnv(cfg_x)
+    assert env_p.sim_params.use_pallas_contact
+    assert not env_x.sim_params.use_pallas_contact
+
+    sx, ox = env_x.reset(jax.random.PRNGKey(0))
+    sp, op = env_p.reset(jax.random.PRNGKey(0))
+    actions = jnp.asarray(
+        0.3 * np.random.RandomState(9).randn(n, 12).astype(np.float32))
+    for _ in range(5):
+        sx, ox, rx, dx, ix = env_x.step(sx, actions)
+        sp, op, rp, dp, ip = env_p.step(sp, actions)
+    np.testing.assert_allclose(np.asarray(sp.phys.base_pos),
+                               np.asarray(sx.phys.base_pos), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sp.phys.q),
+                               np.asarray(sx.phys.q), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(rx), atol=2e-2)

@@ -185,8 +185,7 @@ class LeggedRobotEnv:
         flat_ground = self.terrain.height.shape == (2, 2)
         self.sim_params = engine.SimParams(
             dt=cfg.sim.dt, num_contact_iters=cfg.sim.num_contact_iters,
-            use_pallas_contact=(cfg.sim.use_pallas_contact
-                                and cfg.sim.reuse_matrices and flat_ground))
+            use_pallas_contact=(cfg.sim.use_pallas_contact and flat_ground))
 
         # constants -------------------------------------------------------
         self.default_dof_pos = default_dof_pos(
@@ -633,14 +632,32 @@ class LeggedRobotEnv:
             gravity=jnp.tile(gravity[None, :], (N, 1)),
         )
 
-        if cfg.sim.reuse_matrices and self.sim_params.use_pallas_contact:
-            cache = engine.build_dynamics_cache(
-                m, self.sim_params, state.phys, dyn)
-            p_cp0_t = cache.pallas_ops.p_cp_t
+        if self.sim_params.use_pallas_contact:
+            reuse = cfg.sim.reuse_matrices
+            if reuse:
+                # cache anchored at the control step's first geometry,
+                # contact points advanced at velocity level across substeps
+                cache0 = engine.build_dynamics_cache(
+                    m, self.sim_params, state.phys, dyn)
+                p_cp0_t = cache0.pallas_ops.p_cp_t
+            else:
+                # exact mode: a fresh env-minor cache (FK/CRBA/M^-1/J/Lam)
+                # per substep — same per-substep recomputation semantics as
+                # engine.physics_substep, on the Pallas pipeline
+                cache0 = None
+                P_ = m.cp_body.shape[0]
+                Npad = -(-N // 256) * 256
+                p_cp0_t = jnp.zeros((P_, 3, Npad), jnp.float32)
 
             def substep(carry, _):
                 st, p_cp_t, _, lam_prev = carry
                 tau, target, lag, hist = self._compute_torques(st)
+                if reuse:
+                    cache = cache0
+                else:
+                    cache = engine.build_dynamics_cache(
+                        m, self.sim_params, st.phys, dyn)
+                    p_cp_t = cache.pallas_ops.p_cp_t   # fresh FK points
                 phys2, lam_t, p_cp_new_t = engine.physics_substep_cached(
                     m, self.sim_params, st.phys, tau, dyn, self.terrain,
                     cache, p_cp_t)
