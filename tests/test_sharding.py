@@ -133,3 +133,27 @@ def test_scaling_dryrun_8dev():
     assert np.isfinite(float(m.adaptation_loss))
     print(f"\n8-device dryrun: {4 * num_envs / dt:,.0f} env-steps/s "
           f"(virtual CPU mesh)")
+
+
+def test_runner_with_mesh(tmp_path):
+    """The Runner(mesh=...) path used by scripts/train.py --mesh: env
+    state sharded on the env axis, learner replicated, full learn() loop
+    (log + checkpoint + export) on the 8-device virtual mesh."""
+    from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
+
+    cfg = small_train_cfg(num_envs=16)
+    env = LeggedRobotEnv(cfg)
+    mesh = mesh_mod.make_mesh(8)
+    runner = Runner(env, log_dir=str(tmp_path), seed=0,
+                    args=RunnerArgs(num_steps_per_env=4, max_iterations=2,
+                                    log_freq=2, save_interval=1000,
+                                    curriculum_dump_freq=1000),
+                    mesh=mesh)
+    with mesh:
+        runner.learn(num_learning_iterations=2)
+    # env state actually lives sharded on the env axis
+    sh = runner.env_state.phys.base_pos.sharding
+    assert not sh.is_fully_replicated
+    assert (tmp_path / "metrics.jsonl").exists()
+    assert (tmp_path / ".charts.yml").exists()
+    assert (tmp_path / "checkpoints" / "policy_latest.npz").exists()
