@@ -228,3 +228,25 @@ def test_actuator_net_eval_script(tmp_path):
     assert np.isfinite(res["mse"]) and np.isfinite(res["r2"])
     assert np.isfinite(res["mse_pd_baseline"])
     assert len(res["per_joint"]) == 12
+
+
+def test_network_config_interface_discovery(monkeypatch, tmp_path):
+    """network_config finds exactly the robot-subnet interface from
+    `ip -o -4 addr` output (reference network_config_unitree.py:18-52)."""
+    import subprocess
+    from walk_these_ways_tpu.deploy import network_config as nc
+
+    fake = ("1: lo    inet 127.0.0.1/8 scope host lo\\       "
+            "valid_lft forever preferred_lft forever\n"
+            "2: eth0    inet 10.0.0.5/24 brd 10.0.0.255 scope global eth0\n"
+            "3: eth1    inet 192.168.123.14/24 brd 192.168.123.255 "
+            "scope global eth1\n")
+
+    class R:
+        stdout = fake
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
+    ifs = nc.list_interfaces()
+    assert ifs == {"lo": ["127.0.0.1"], "eth0": ["10.0.0.5"],
+                   "eth1": ["192.168.123.14"]}
+    assert nc.get_likely_iface() == "eth1"
