@@ -250,3 +250,16 @@ def test_network_config_interface_discovery(monkeypatch, tmp_path):
     assert ifs == {"lo": ["127.0.0.1"], "eth0": ["10.0.0.5"],
                    "eth1": ["192.168.123.14"]}
     assert nc.get_likely_iface() == "eth1"
+
+
+def test_check_camera_msgs_self_test():
+    """The camera-rate checker (reference tests/check_camera_msgs.py
+    analog) receives, reassembles and rates synthetic frames over the
+    loopback bus."""
+    from walk_these_ways_tpu.deploy.check_camera_msgs import main
+
+    rep = main(seconds=1.0, self_test=True)
+    assert "front" in rep
+    fps, shape = rep["front"]
+    assert fps > 5.0
+    assert shape == (30, 40, 3)
