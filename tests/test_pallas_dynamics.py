@@ -180,3 +180,76 @@ def test_env_step_exact_pallas_matches_exact_xla():
     np.testing.assert_allclose(np.asarray(sp.phys.q),
                                np.asarray(sx.phys.q), atol=5e-3)
     np.testing.assert_allclose(np.asarray(rp), np.asarray(rx), atol=2e-2)
+
+
+def _rough_cfg(n, reuse):
+    from walk_these_ways_tpu.config import TerrainCfg
+    from walk_these_ways_tpu.go1_config import mob_train_cfg
+
+    cfg = mob_train_cfg(num_envs=n)
+    terr = dataclasses.replace(
+        cfg.terrain, mesh_type="heightfield", num_rows=2, num_cols=2,
+        terrain_length=4.0, terrain_width=4.0,
+        terrain_proportions=(0.0, 1.0, 0.0, 0.0, 0.0),  # rough slope tiles
+        teleport_robots=False, curriculum=False, center_robots=False)
+    return dataclasses.replace(
+        cfg, terrain=terr,
+        sim=dataclasses.replace(cfg.sim, reuse_matrices=reuse))
+
+
+def test_env_step_heightfield_exact_pallas_matches_xla():
+    """Heightfield terrain on the Pallas pipeline (general surface
+    normals, per-substep h/n sampling in exact mode) == the exact XLA
+    path with the same terrain."""
+    import jax
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+
+    n = 8
+    cfg_p = _rough_cfg(n, reuse=False)
+    cfg_x = dataclasses.replace(
+        cfg_p, sim=dataclasses.replace(cfg_p.sim, use_pallas_contact=False))
+    env_p = LeggedRobotEnv(cfg_p)
+    env_x = LeggedRobotEnv(cfg_x)
+    assert env_p.sim_params.use_pallas_contact
+    assert env_p.terrain.height.shape != (2, 2), "terrain must be rough"
+
+    sx, ox = env_x.reset(jax.random.PRNGKey(0))
+    sp, op = env_p.reset(jax.random.PRNGKey(0))
+    actions = jnp.asarray(
+        0.3 * np.random.RandomState(9).randn(n, 12).astype(np.float32))
+    for _ in range(5):
+        sx, ox, rx, dx, ix = env_x.step(sx, actions)
+        sp, op, rp, dp, ip = env_p.step(sp, actions)
+    np.testing.assert_allclose(np.asarray(sp.phys.base_pos),
+                               np.asarray(sx.phys.base_pos), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sp.phys.q),
+                               np.asarray(sx.phys.q), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(rx), atol=2e-2)
+
+
+def test_env_step_heightfield_reuse_pallas_close_to_xla():
+    """Reuse mode on heightfield: the Pallas path samples h/n once per
+    control step at the anchor geometry (the XLA reuse path re-samples at
+    the carried points each substep) — same first-order-in-dt
+    approximation class, so trajectories stay close over a few steps."""
+    import jax
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+
+    n = 8
+    cfg_p = _rough_cfg(n, reuse=True)
+    cfg_x = dataclasses.replace(
+        cfg_p, sim=dataclasses.replace(cfg_p.sim, use_pallas_contact=False))
+    env_p = LeggedRobotEnv(cfg_p)
+    env_x = LeggedRobotEnv(cfg_x)
+    assert env_p.sim_params.use_pallas_contact
+
+    sx, ox = env_x.reset(jax.random.PRNGKey(0))
+    sp, op = env_p.reset(jax.random.PRNGKey(0))
+    actions = jnp.zeros((n, 12))
+    for _ in range(3):
+        sx, ox, rx, dx, ix = env_x.step(sx, actions)
+        sp, op, rp, dp, ip = env_p.step(sp, actions)
+    np.testing.assert_allclose(np.asarray(sp.phys.base_pos),
+                               np.asarray(sx.phys.base_pos), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(sp.phys.q),
+                               np.asarray(sx.phys.q), atol=5e-2)

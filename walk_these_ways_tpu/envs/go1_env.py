@@ -182,10 +182,9 @@ class LeggedRobotEnv:
         # the Pallas contact pipeline is specialized to flat ground (the
         # MoB train config resolves to the flat fast path); heightfield
         # terrains use the XLA solver
-        flat_ground = self.terrain.height.shape == (2, 2)
         self.sim_params = engine.SimParams(
             dt=cfg.sim.dt, num_contact_iters=cfg.sim.num_contact_iters,
-            use_pallas_contact=(cfg.sim.use_pallas_contact and flat_ground))
+            use_pallas_contact=cfg.sim.use_pallas_contact)
 
         # constants -------------------------------------------------------
         self.default_dof_pos = default_dof_pos(
@@ -638,7 +637,7 @@ class LeggedRobotEnv:
                 # cache anchored at the control step's first geometry,
                 # contact points advanced at velocity level across substeps
                 cache0 = engine.build_dynamics_cache(
-                    m, self.sim_params, state.phys, dyn)
+                    m, self.sim_params, state.phys, dyn, self.terrain)
                 p_cp0_t = cache0.pallas_ops.p_cp_t
             else:
                 # exact mode: a fresh env-minor cache (FK/CRBA/M^-1/J/Lam)
@@ -656,7 +655,7 @@ class LeggedRobotEnv:
                     cache = cache0
                 else:
                     cache = engine.build_dynamics_cache(
-                        m, self.sim_params, st.phys, dyn)
+                        m, self.sim_params, st.phys, dyn, self.terrain)
                     p_cp_t = cache.pallas_ops.p_cp_t   # fresh FK points
                 phys2, lam_t, p_cp_new_t = engine.physics_substep_cached(
                     m, self.sim_params, st.phys, tau, dyn, self.terrain,

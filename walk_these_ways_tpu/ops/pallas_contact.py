@@ -197,14 +197,17 @@ def point_dof_groups(anc_p):
 def contact_core(J, Lam, Minv, p_cp, gv0, rh, mu, e, vlim, *,
                  num_iters: int, relaxation: float, dt: float,
                  baumgarte: float, slop: float, max_depen: float,
-                 bounce_thresh: float, groups=None):
+                 bounce_thresh: float, groups=None, n=None):
     """Shared in-kernel contact pipeline (gaps -> targets -> projected
     Jacobi -> point advance) on env-minor VMEM values.  Called from the
     contact-only substep kernel below and from the full dynamics substep
     kernel (ops/pallas_dynamics.py).  `groups` is the static
     point_dof_groups structure; when given, the J contractions in the
-    solver loop skip the statically-zero (point, dof) blocks.
-    Returns (gv_new, p_cp_new, lam)."""
+    solver loop skip the statically-zero (point, dof) blocks.  `n` is the
+    per-point surface normal (P, 3, B) for heightfield terrain; None means
+    flat ground (n = +z), which drops the normal-decomposition arithmetic
+    entirely (mirrors engine._impulse_iteration general-normal math vs the
+    flat specialization).  Returns (gv_new, p_cp_new, lam)."""
     P = p_cp.shape[0]
     nv = gv0.shape[0]
     B = gv0.shape[-1]
@@ -248,11 +251,15 @@ def contact_core(J, Lam, Minv, p_cp, gv0, rh, mu, e, vlim, *,
             assert pos == nv
             return jnp.concatenate(parts, axis=0)
 
-    # gaps and velocity targets (flat ground, n = +z)
+    # gaps and velocity targets (vertical gap phi = (radius + h) - p_z,
+    # engine._contact_solve:445-447)
     phi = rh - p_cp[:, 2, :]                               # (P, B)
     active = (phi > 0.0).astype(J.dtype)
     v0 = jdot(gv0)
-    vn0 = v0[:, 2, :]
+    if n is None:
+        vn0 = v0[:, 2, :]
+    else:
+        vn0 = n[:, 0] * v0[:, 0] + n[:, 1] * v0[:, 1] + n[:, 2] * v0[:, 2]
     bounce = jnp.where(vn0 < -bounce_thresh, -e * vn0, 0.0)
     bias = jnp.minimum(baumgarte / dt * jnp.maximum(phi - slop, 0.0),
                        max_depen)
@@ -261,10 +268,16 @@ def contact_core(J, Lam, Minv, p_cp, gv0, rh, mu, e, vlim, *,
     def body(_, carry):
         lam, gv = carry                                    # (P,3,B), (nv,B)
         v = jdot(gv)
-        # dv desired: (target - v_z) on z, -v on xy
-        dvx = -v[:, 0, :]
-        dvy = -v[:, 1, :]
-        dvz = target - v[:, 2, :]
+        if n is None:
+            # dv desired: (target - v_z) on z, -v on xy
+            dvx = -v[:, 0, :]
+            dvy = -v[:, 1, :]
+            dvz = target - v[:, 2, :]
+        else:
+            # dv desired: target * n - v (engine._impulse_iteration:505)
+            dvx = target * n[:, 0] - v[:, 0, :]
+            dvy = target * n[:, 1] - v[:, 1, :]
+            dvz = target * n[:, 2] - v[:, 2, :]
         dlx = relaxation * (Lam[:, 0] * dvx + Lam[:, 1] * dvy
                             + Lam[:, 2] * dvz)
         dly = relaxation * (Lam[:, 3] * dvx + Lam[:, 4] * dvy
@@ -274,14 +287,28 @@ def contact_core(J, Lam, Minv, p_cp, gv0, rh, mu, e, vlim, *,
         lx = lam[:, 0, :] + dlx
         ly = lam[:, 1, :] + dly
         lz = lam[:, 2, :] + dlz
-        # project: normal (z) >= 0, tangential inside friction cone
-        ln = jnp.maximum(lz, 0.0)
-        lt = jnp.sqrt(lx * lx + ly * ly + 1e-18)
-        max_t = mu * ln
-        scale = jnp.where(lt > max_t, max_t / lt, 1.0)
-        lx = lx * scale * active
-        ly = ly * scale * active
-        lz = ln * active
+        if n is None:
+            # project: normal (z) >= 0, tangential inside friction cone
+            ln = jnp.maximum(lz, 0.0)
+            lt = jnp.sqrt(lx * lx + ly * ly + 1e-18)
+            max_t = mu * ln
+            scale = jnp.where(lt > max_t, max_t / lt, 1.0)
+            lx = lx * scale * active
+            ly = ly * scale * active
+            lz = ln * active
+        else:
+            # general-normal projection (engine._impulse_iteration:509-516)
+            ln = lx * n[:, 0] + ly * n[:, 1] + lz * n[:, 2]
+            tx = lx - ln * n[:, 0]
+            ty = ly - ln * n[:, 1]
+            tz = lz - ln * n[:, 2]
+            ln = jnp.maximum(ln, 0.0)
+            lt = jnp.sqrt(tx * tx + ty * ty + tz * tz + 1e-18)
+            max_t = mu * ln
+            scale = jnp.where(lt > max_t, max_t / lt, 1.0)
+            lx = (ln * n[:, 0] + tx * scale) * active
+            ly = (ln * n[:, 1] + ty * scale) * active
+            lz = (ln * n[:, 2] + tz * scale) * active
         new_lam = jnp.stack([lx, ly, lz], axis=1)          # (P, 3, B)
         applied = new_lam - lam
         # lazy impulse apply: gv += M^-1 (J^T applied)

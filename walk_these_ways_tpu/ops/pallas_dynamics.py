@@ -60,13 +60,17 @@ def _m3T_vec(M9, v):
 def _dyn_substep_kernel(sw_ref, sv_ref, a_ref, b_ref, m_ref, minv_ref,
                         g_ref, tau_ref, gv_ref,
                         j_ref, lam33_ref, pcp_ref, rh_ref, mu_ref, e_ref,
-                        vlim_ref,
-                        gv_out_ref, pcp_out_ref, lam_out_ref, *,
+                        vlim_ref, *rest,
                         anc: np.ndarray, joint_body: np.ndarray,
                         groups: tuple, nb: int, nj: int, nv: int,
                         dt: float, num_iters: int, relaxation: float,
                         baumgarte: float, slop: float, max_depen: float,
-                        bounce_thresh: float, contact: bool):
+                        bounce_thresh: float, contact: bool, flat: bool):
+    if flat:
+        n_ref = None
+        gv_out_ref, pcp_out_ref, lam_out_ref = rest
+    else:
+        n_ref, gv_out_ref, pcp_out_ref, lam_out_ref = rest
     Sw = sw_ref[:]          # (nv, 3, B)
     Sv = sv_ref[:]          # (nv, 3, B)
     Ab = a_ref[:]           # (nb, 9, B)
@@ -154,7 +158,8 @@ def _dyn_substep_kernel(sw_ref, sv_ref, a_ref, b_ref, m_ref, minv_ref,
             rh_ref[:], mu_ref[:], e_ref[:], vlim_ref[:],
             num_iters=num_iters, relaxation=relaxation, dt=dt,
             baumgarte=baumgarte, slop=slop, max_depen=max_depen,
-            bounce_thresh=bounce_thresh, groups=groups)
+            bounce_thresh=bounce_thresh, groups=groups,
+            n=None if flat else n_ref[:])
     else:
         gv_new = gv_free
         pcp_new = pcp_ref[:]
@@ -166,6 +171,7 @@ def _dyn_substep_kernel(sw_ref, sv_ref, a_ref, b_ref, m_ref, minv_ref,
 
 def dynamics_substep_pallas(Sw_t, Sv_t, A_t, B_t, m_t, Minv_t, g_t, tau_t,
                             gv_t, J_t, Lam_t, pcp_t, rh_t, mu_t, e_t, vlim,
+                            n_t=None,
                             *, anc: np.ndarray, joint_body: np.ndarray,
                             cp_body: np.ndarray,
                             dt: float, num_iters: int, relaxation: float,
@@ -173,8 +179,10 @@ def dynamics_substep_pallas(Sw_t, Sv_t, A_t, B_t, m_t, Minv_t, g_t, tau_t,
                             bounce_thresh: float, contact: bool = True,
                             block: int = 256, interpret: bool = False):
     """One full cached physics substep (twists + bias + qdd + contact +
-    point advance), env-minor.  Returns (gv_new_t (nv, Npad),
-    pcp_new_t (P, 3, Npad), lam_t (P, 3, Npad))."""
+    point advance), env-minor.  `n_t` (P, 3, Npad) carries per-point
+    surface normals for heightfield terrain (None = flat, n = +z).
+    Returns (gv_new_t (nv, Npad), pcp_new_t (P, 3, Npad),
+    lam_t (P, 3, Npad))."""
     nv = gv_t.shape[0]
     nb = m_t.shape[0]
     nj = nv - 6
@@ -186,13 +194,14 @@ def dynamics_substep_pallas(Sw_t, Sv_t, A_t, B_t, m_t, Minv_t, g_t, tau_t,
     anc = np.asarray(anc).astype(bool)
     anc_p = anc[:, np.asarray(cp_body)].T                 # (P, nv)
     groups = tuple(pc.point_dof_groups(anc_p))
+    flat = n_t is None
     kernel = functools.partial(
         _dyn_substep_kernel, anc=anc,
         joint_body=np.asarray(joint_body), groups=groups,
         nb=nb, nj=nj, nv=nv, dt=dt,
         num_iters=num_iters, relaxation=relaxation, baumgarte=baumgarte,
         slop=slop, max_depen=max_depen, bounce_thresh=bounce_thresh,
-        contact=contact)
+        contact=contact, flat=flat)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -204,12 +213,14 @@ def dynamics_substep_pallas(Sw_t, Sv_t, A_t, B_t, m_t, Minv_t, g_t, tau_t,
                   _spec(J_t.shape, block), _spec(Lam_t.shape, block),
                   _spec(pcp_t.shape, block), _spec(rh_t.shape, block),
                   _spec(mu_t.shape, block), _spec(e_t.shape, block),
-                  vlim_spec],
+                  vlim_spec]
+                 + ([] if flat else [_spec(n_t.shape, block)]),
         out_specs=(_spec((nv, Npad), block), _spec((P, 3, Npad), block),
                    _spec((P, 3, Npad), block)),
         out_shape=(jax.ShapeDtypeStruct((nv, Npad), gv_t.dtype),
                    jax.ShapeDtypeStruct((P, 3, Npad), gv_t.dtype),
                    jax.ShapeDtypeStruct((P, 3, Npad), gv_t.dtype)),
         interpret=interpret,
-    )(Sw_t, Sv_t, A_t, B_t, m_t, Minv_t, g_t, tau_t, gv_t,
-      J_t, Lam_t, pcp_t, rh_t, mu_t, e_t, vlim)
+    )(*((Sw_t, Sv_t, A_t, B_t, m_t, Minv_t, g_t, tau_t, gv_t,
+         J_t, Lam_t, pcp_t, rh_t, mu_t, e_t, vlim)
+        + (() if flat else (n_t,))))

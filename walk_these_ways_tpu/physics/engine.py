@@ -545,6 +545,7 @@ class PallasOps(NamedTuple):
     B_t: jnp.ndarray       # (nb, 9, Npad)
     m_t: jnp.ndarray       # (nb, Npad)
     g_t: jnp.ndarray       # (3, Npad)
+    n_t: jnp.ndarray = None   # (P, 3, Npad) surface normals (None = flat +z)
     block: int = 256
 
 
@@ -577,7 +578,8 @@ class DynamicsCache(NamedTuple):
 
 
 def build_dynamics_cache(model: RobotModel, params: SimParams,
-                         state: PhysicsState, dyn: DynamicsParams) -> DynamicsCache:
+                         state: PhysicsState, dyn: DynamicsParams,
+                         terrain: "Terrain | None" = None) -> DynamicsCache:
     f32 = state.base_pos.dtype
     N = state.base_pos.shape[0]
     ref = state.base_pos
@@ -596,17 +598,29 @@ def build_dynamics_cache(model: RobotModel, params: SimParams,
         J_t, Lam_t = pc.build_contact_cache_pallas(
             anc_pn, em.Sw_t, em.Sv_t, em.Minv_t, em.r_t, block=block,
             interpret=interpret)
-        # per-point radius + terrain height (flat fast path => h constant)
+        # per-point radius + terrain height; on a heightfield, h and the
+        # surface normal are sampled at the cache geometry (exact mode
+        # rebuilds the cache per substep => fresh h/n; reuse mode holds
+        # them for the control step — the same first-order-in-dt
+        # approximation reuse makes for J/M)
         radius = jnp.asarray(model.cp_radius, dtype=f32)
         Npad = em.Sw_t.shape[-1]
-        rh_t = jnp.broadcast_to(radius[:, None], (P, Npad))
+        if terrain is not None and terrain.height.shape != (2, 2):
+            p_cp = pc.from_env_minor(em.p_cp_t, N)           # (N, P, 3)
+            h, n_srf = terrain.lookup(p_cp[..., 0], p_cp[..., 1])
+            rh_t = pc.to_env_minor(h + radius[None, :], block)
+            n_t = pc.to_env_minor(n_srf, block)
+        else:
+            rh_t = jnp.broadcast_to(radius[:, None], (P, Npad))
+            n_t = None
         mu_t = pc.to_env_minor(0.5 * (dyn.friction[:, None] + 1.0), block)
         e_t = pc.to_env_minor(dyn.restitution[:, None], block)
         g_t = pc.to_env_minor(dyn.gravity, block)
         pallas_ops = PallasOps(
             J_t=J_t, Lam_t=Lam_t, Minv_t=em.Minv_t, rh_t=rh_t, mu_t=mu_t,
             e_t=e_t, p_cp_t=em.p_cp_t, Sw_t=em.Sw_t, Sv_t=em.Sv_t,
-            A_t=em.A_t, B_t=em.B_t, m_t=em.m_t, g_t=g_t, block=block)
+            A_t=em.A_t, B_t=em.B_t, m_t=em.m_t, g_t=g_t, n_t=n_t,
+            block=block)
         return DynamicsCache(ref=ref, pallas_ops=pallas_ops)
 
     frames = forward_kinematics(model, state)
@@ -693,7 +707,8 @@ def physics_substep_cached(
         gv_new_t, p_cp, lam_t = pd.dynamics_substep_pallas(
             po.Sw_t, po.Sv_t, po.A_t, po.B_t, po.m_t, po.Minv_t, po.g_t,
             tau_t, gv_t, po.J_t, po.Lam_t, p_cp, po.rh_t, po.mu_t, po.e_t,
-            vlim, anc=model.anc_dof_body, joint_body=model.joint_body,
+            vlim, po.n_t, anc=model.anc_dof_body,
+            joint_body=model.joint_body,
             cp_body=model.cp_body,
             dt=dt, num_iters=params.num_contact_iters,
             relaxation=params.relaxation,
