@@ -17,8 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
               num_eval_envs: int = 0, eval_expert: bool = False,
               algo: str = "cse", use_mesh: bool = False,
-              multihost: bool = False, exact: bool = False):
-    from walk_these_ways_tpu.go1_config import mob_train_cfg
+              multihost: bool = False, exact: bool = False,
+              terrain: str = "flat"):
+    from walk_these_ways_tpu.go1_config import mob_train_cfg, rough_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
     from walk_these_ways_tpu.parallel import mesh as mesh_mod
@@ -36,8 +37,9 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
         print(f"mesh: {len(mesh.devices.flat)} devices, "
               f"process {jax.process_index()}/{jax.process_count()}")
 
-    cfg = mob_train_cfg(num_envs=num_envs)
-    eval_cfg = mob_train_cfg(num_envs=num_eval_envs) if num_eval_envs else None
+    cfg_fn = rough_train_cfg if terrain == "rough" else mob_train_cfg
+    cfg = cfg_fn(num_envs=num_envs)
+    eval_cfg = cfg_fn(num_envs=num_eval_envs) if num_eval_envs else None
     if exact:
         # exact per-substep dynamics (no matrix reuse); still on the
         # Pallas pipeline on flat ground
@@ -80,6 +82,9 @@ if __name__ == "__main__":
                         "over every host's devices (DCN + ICI)")
     p.add_argument("--exact", action="store_true",
                    help="exact per-substep dynamics (reuse_matrices off)")
+    p.add_argument("--terrain", choices=["flat", "rough"], default="flat",
+                   help="flat = MoB boxes tiles (default); rough = "
+                        "rough-slope heightfield")
     a = p.parse_args()
     log_dir = a.log_dir or os.path.join(
         "runs", "gait-conditioned-agility",
@@ -87,4 +92,4 @@ if __name__ == "__main__":
     train_go1(a.num_envs, a.iterations, log_dir, a.seed,
               num_eval_envs=a.num_eval_envs, eval_expert=a.eval_expert,
               algo=a.algo, use_mesh=a.mesh, multihost=a.multihost,
-              exact=a.exact)
+              exact=a.exact, terrain=a.terrain)

@@ -238,3 +238,26 @@ def small_train_cfg(num_envs: int = 256) -> Cfg:
         noise=replace(cfg.noise, add_noise=False),
     )
     return cfg
+
+
+def rough_train_cfg(num_envs: int = 4000) -> Cfg:
+    """MoB training config on rough heightfield terrain.
+
+    Same training stack as mob_train_cfg with the terrain switched from
+    the all-flat 'boxes' tiles to a rough-slope heightfield (reference
+    Cfg.terrain.terrain_proportions semantics, terrain.py:114-160); the
+    Pallas pipeline handles the general surface normals
+    (ops/pallas_contact.contact_core)."""
+    cfg = mob_train_cfg(num_envs=num_envs)
+    return replace(
+        cfg,
+        terrain=replace(
+            cfg.terrain, mesh_type="heightfield",
+            # tile type 9 = uniform-roughness flat ground (terrain.py:38-137
+            # choice buckets) — learnable by the BLIND MoB policy (70-dim
+            # obs carries no terrain heights); slope/stair tiles need a
+            # perceptive policy the reference doesn't train either
+            terrain_proportions=(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0),
+            terrain_noise_magnitude=0.08,
+            center_robots=True),
+    )
