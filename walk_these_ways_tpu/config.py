@@ -375,6 +375,10 @@ class SimCfg:
     # reuse_matrices and a flat-ground terrain (the MoB train config);
     # heightfield configs fall back to the XLA solver automatically
     use_pallas_contact: bool = False
+    # fold the whole control step (torque model + all decimation substeps +
+    # integration) into one Pallas launch (ops/pallas_megastep.py); only
+    # takes effect with use_pallas_contact + reuse_matrices
+    megastep: bool = True
 
 
 @dataclass(frozen=True)

@@ -240,8 +240,14 @@ class LeggedRobotEnv:
         # actuator network ------------------------------------------------
         if cfg.control.control_type == "actuator_net":
             self.actuator_params = actuator_net.load()
+            # block-diagonal weights for the in-kernel MXU evaluation
+            # (ops/pallas_megastep.py)
+            from ..ops import pallas_megastep as _pm
+            self.actuator_blockdiag = _pm.blockdiag_actuator_weights(
+                self.actuator_params)
         else:
             self.actuator_params = None
+            self.actuator_blockdiag = None
 
         # height measurement points (legged_robot.py:1756-1770)
         if cfg.terrain.measure_heights:
@@ -467,6 +473,39 @@ class LeggedRobotEnv:
         tau = jnp.clip(tau, -self.torque_limits, self.torque_limits)
         return tau, target, lag, new_hist
 
+    def _substep_targets(self, state: EnvState):
+        """Per-substep joint-position targets for one control step — the
+        decimation-unrolled form of the lag-buffer shift in
+        _compute_torques (reference legged_robot.py:907-918): substep s
+        reads lag entry s+1 (or the fresh action once the buffer drains).
+        Returns (targets (N, D, 12) incl. default_dof_pos, final lag
+        buffer).  Used by the mega-kernel path (one Pallas launch per
+        control step)."""
+        cfg = self.cfg
+        D = cfg.control.decimation
+        N = state.actions.shape[0]
+        actions_scaled = state.actions * cfg.control.action_scale
+        hip = jnp.asarray([1.0, 1.0, 1.0] * 4).at[0::3].set(
+            cfg.control.hip_scale_reduction)
+        actions_scaled = actions_scaled * hip[None, :]
+        if cfg.domain_rand.randomize_lag_timesteps:
+            L = state.lag_buffer                     # (N, T, 12)
+            T = L.shape[1]
+            cols = [L[:, s + 1] if s + 1 < T else actions_scaled
+                    for s in range(D)]
+            tgt = jnp.stack(cols, axis=1) \
+                + self.default_dof_pos[None, None, :]
+            tail = jnp.broadcast_to(actions_scaled[:, None, :],
+                                    (N, min(D, T), 12))
+            lag_final = (jnp.concatenate([L[:, D:], tail], axis=1)
+                         if D < T else tail[:, :T])
+        else:
+            tgt = jnp.broadcast_to(
+                (actions_scaled + self.default_dof_pos[None, :])[:, None],
+                (N, D, 12))
+            lag_final = state.lag_buffer
+        return tgt, lag_final
+
     # -- observation -------------------------------------------------------
     def _compute_obs(self, state: EnvState, base_lin_vel_b, base_ang_vel_b,
                      projected_gravity, rng):
@@ -631,7 +670,63 @@ class LeggedRobotEnv:
             gravity=jnp.tile(gravity[None, :], (N, 1)),
         )
 
-        if self.sim_params.use_pallas_contact:
+        if self.sim_params.use_pallas_contact and cfg.sim.megastep:
+            # whole-control-step Pallas kernel: torque model + physics
+            # substep(s) + integration in one launch, J/Lam built in-kernel
+            # (ops/pallas_megastep.py).  Reuse mode runs all decimation
+            # substeps in ONE call (cache anchored at the entry state);
+            # exact mode calls it per substep with a fresh cache — the same
+            # per-substep recomputation semantics as engine.physics_substep.
+            D = cfg.control.decimation
+            tgt_raw, lag_final = self._substep_targets(state)
+            if cfg.control.control_type == "actuator_net":
+                tgt_eff = tgt_raw - state.motor_offsets[:, None, :]
+            else:
+                tgt_eff = tgt_raw + state.motor_offsets[:, None, :]
+
+            def _ctrl(st):
+                if cfg.control.control_type == "actuator_net":
+                    return ("actuator_net", self.actuator_blockdiag,
+                            (st.joint_pos_err_last,
+                             st.joint_pos_err_last_last,
+                             st.joint_vel_last, st.joint_vel_last_last))
+                return ("P", self.p_gains[None, :] * st.Kp_factors,
+                        self.d_gains[None, :] * st.Kd_factors)
+
+            if cfg.sim.reuse_matrices:
+                phys2, lam_t, p_cp_t, p_cp_prev_t, torques, hist = \
+                    engine.control_step_megakernel(
+                        m, self.sim_params, state.phys, dyn, self.terrain,
+                        tgt_eff, state.motor_strengths, self.torque_limits,
+                        _ctrl(state), D)
+                state = state._replace(phys=phys2, torques=torques, **hist)
+            else:
+                P_ = m.cp_body.shape[0]
+                blk = engine.MEGASTEP_BLOCK
+                Npad = -(-N // blk) * blk
+                z_p = jnp.zeros((P_, 3, Npad), jnp.float32)
+
+                def substep(carry, tgt_s):
+                    st = carry[0]
+                    phys2, lam_t, p_cp_t, p_cp_prev_t, torques, hist = \
+                        engine.control_step_megakernel(
+                            m, self.sim_params, st.phys, dyn, self.terrain,
+                            tgt_s[:, None, :], st.motor_strengths,
+                            self.torque_limits, _ctrl(st), 1)
+                    st = st._replace(phys=phys2, torques=torques, **hist)
+                    return (st, lam_t, p_cp_t, p_cp_prev_t), None
+
+                (state, lam_t, p_cp_t, p_cp_prev_t), _ = jax.lax.scan(
+                    substep, (state, z_p, z_p, z_p),
+                    jnp.swapaxes(tgt_eff, 0, 1), length=D)
+            state = state._replace(
+                joint_pos_target=tgt_raw[:, -1], lag_buffer=lag_final)
+            cinfo_last = engine.contact_report_from_lam_t(
+                m, lam_t, self.sim_params.dt, N)
+            pallas_foot = engine.foot_state_from_pcp_t(
+                m, p_cp_t, p_cp_prev_t, self.sim_params.dt, N)
+            p_cp_final = None
+        elif self.sim_params.use_pallas_contact:
             reuse = cfg.sim.reuse_matrices
             if reuse:
                 # cache anchored at the control step's first geometry,

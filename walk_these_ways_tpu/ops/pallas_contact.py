@@ -76,13 +76,14 @@ def _spec(shape, block):
 # -- cache kernel: J and Lam ------------------------------------------------
 
 
-def _cache_kernel(anc_ref, sw_ref, sv_ref, minv_ref, r_ref,
-                  j_ref, lam_ref, *, P: int, nv: int, eps: float):
-    Sw = sw_ref[:]        # (nv, 3, B)
-    Sv = sv_ref[:]        # (nv, 3, B)
-    Minv = minv_ref[:]    # (nv, nv, B)
-    r = r_ref[:]          # (P, 3, B)
-    anc = anc_ref[:]      # (P, nv)
+def cache_core(anc, Sw, Sv, Minv, r, *, eps: float):
+    """In-kernel J/Lam build on env-minor VMEM values: point Jacobians
+    J[p, i, v] = anc[p, v] * (Sv[v, i] + Sw[v] x r[p]) and 3x3
+    effective-mass inverses Lam_p = (J_p M^-1 J_p^T + eps)^-1.  Shared by
+    the standalone cache kernel below and the whole-control-step kernel
+    (ops/pallas_megastep.py).  Returns (J (P, 3, nv, B), Lam9 (P, 9, B))."""
+    P = r.shape[0]
+    nv = Sw.shape[0]
     B = Sw.shape[-1]
 
     # J[p, i, v, b] = anc[p, v] * (Sv[v, i, b] + (Sw[v] x r[p])[i, b])
@@ -100,17 +101,18 @@ def _cache_kernel(anc_ref, sw_ref, sv_ref, minv_ref, r_ref,
     Jy = m * (sv1[None] + cy)
     Jz = m * (sv2[None] + cz)
     J = jnp.stack([Jx, Jy, Jz], axis=1)                  # (P, 3, nv, B)
-    j_ref[:] = J
 
-    # t[p, i, v] = sum_w J[p, i, w] Minv[w, v]   (M^-1 is symmetric)
-    t = jnp.zeros((P, 3, nv, B), J.dtype)
-    for w in range(nv):
-        t += J[:, :, w, :][:, :, None, :] * Minv[w][None, None, :, :]
-    # W[p, i, j] = sum_v J[p, j, v] t[p, i, v]
+    # W[p, i, j] = sum_vw J[p, i, w] Minv[w, v] J[p, j, v]; build one
+    # t_i = J_i M^-1 (P, nv, B) row at a time to keep the live VMEM temp
+    # at (P, nv, B) instead of (P, 3, nv, B) (the mega-kernel runs within
+    # ~300 KB of the 16 MB scoped-vmem limit at block=256)
     W = [[None] * 3 for _ in range(3)]
     for i in range(3):
+        t_i = jnp.zeros((P, nv, B), J.dtype)
+        for w in range(nv):
+            t_i += J[:, i, w, :][:, None, :] * Minv[w][None, :, :]
         for jc in range(3):
-            W[i][jc] = jnp.sum(J[:, jc] * t[:, i], axis=1)   # (P, B)
+            W[i][jc] = jnp.sum(J[:, jc] * t_i, axis=1)       # (P, B)
     a, b, c = W[0][0] + eps, W[0][1], W[0][2]
     d, e, f = W[1][0], W[1][1] + eps, W[1][2]
     g, h, i9 = W[2][0], W[2][1], W[2][2] + eps
@@ -125,8 +127,17 @@ def _cache_kernel(anc_ref, sw_ref, sv_ref, minv_ref, r_ref,
     I9 = a * e - b * d
     det = a * A + b * Bc + c * C
     inv_det = 1.0 / det
-    lam_ref[:] = jnp.stack(
+    Lam9 = jnp.stack(
         [A, D, G, Bc, E, H, C, F, I9], axis=1) * inv_det[:, None, :]
+    return J, Lam9
+
+
+def _cache_kernel(anc_ref, sw_ref, sv_ref, minv_ref, r_ref,
+                  j_ref, lam_ref, *, P: int, nv: int, eps: float):
+    J, Lam9 = cache_core(anc_ref[:], sw_ref[:], sv_ref[:], minv_ref[:],
+                         r_ref[:], eps=eps)
+    j_ref[:] = J
+    lam_ref[:] = Lam9
 
 
 def build_contact_cache_pallas(anc, Sw_t, Sv_t, Minv_t, r_t,

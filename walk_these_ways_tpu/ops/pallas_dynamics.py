@@ -57,30 +57,14 @@ def _m3T_vec(M9, v):
         M9[2] * v[0] + M9[5] * v[1] + M9[8] * v[2]], axis=0)
 
 
-def _dyn_substep_kernel(sw_ref, sv_ref, a_ref, b_ref, m_ref, minv_ref,
-                        g_ref, tau_ref, gv_ref,
-                        j_ref, lam33_ref, pcp_ref, rh_ref, mu_ref, e_ref,
-                        vlim_ref, *rest,
-                        anc: np.ndarray, joint_body: np.ndarray,
-                        groups: tuple, nb: int, nj: int, nv: int,
-                        dt: float, num_iters: int, relaxation: float,
-                        baumgarte: float, slop: float, max_depen: float,
-                        bounce_thresh: float, contact: bool, flat: bool):
-    if flat:
-        n_ref = None
-        gv_out_ref, pcp_out_ref, lam_out_ref = rest
-    else:
-        n_ref, gv_out_ref, pcp_out_ref, lam_out_ref = rest
-    Sw = sw_ref[:]          # (nv, 3, B)
-    Sv = sv_ref[:]          # (nv, 3, B)
-    Ab = a_ref[:]           # (nb, 9, B)
-    Bb = b_ref[:]           # (nb, 9, B)
-    mb = m_ref[:]           # (nb, B)
-    Minv = minv_ref[:]      # (nv, nv, B)
-    g = g_ref[:]            # (3, B)
-    tau = tau_ref[:]        # (nv, B)
-    gv = gv_ref[:]          # (nv, B)
-
+def dyn_core(Sw, Sv, Ab, Bb, mb, Minv, g, tau, gv, *,
+             anc: np.ndarray, joint_body: np.ndarray,
+             nb: int, nj: int, nv: int):
+    """In-kernel unconstrained dynamics on env-minor VMEM values: body
+    twists, RNEA bias forces, qdd = M^-1 (tau - bias) plus the centripetal
+    reference-point correction.  Shared by the substep kernel below and the
+    whole-control-step kernel (ops/pallas_megastep.py).  Returns qdd
+    (nv, B)."""
     # body twists: Vw[b] = sum_{d: anc[d,b]} Sw[d] * gv[d]
     # (engine.body_twists; the ancestor mask is static -> only the <=9
     # nonzero terms per body are emitted)
@@ -149,7 +133,28 @@ def _dyn_substep_kernel(sw_ref, sv_ref, a_ref, b_ref, m_ref, minv_ref,
     qdd = jnp.sum(Minv * tb[None, :, :], axis=1)            # (nv, B)
     corr = _cross(gv[0:3], gv[3:6])                         # (3, B)
     # (no .at[].add — Mosaic has no scatter; static-slice concat instead)
-    qdd = jnp.concatenate([qdd[0:3], qdd[3:6] + corr, qdd[6:]], axis=0)
+    return jnp.concatenate([qdd[0:3], qdd[3:6] + corr, qdd[6:]], axis=0)
+
+
+def _dyn_substep_kernel(sw_ref, sv_ref, a_ref, b_ref, m_ref, minv_ref,
+                        g_ref, tau_ref, gv_ref,
+                        j_ref, lam33_ref, pcp_ref, rh_ref, mu_ref, e_ref,
+                        vlim_ref, *rest,
+                        anc: np.ndarray, joint_body: np.ndarray,
+                        groups: tuple, nb: int, nj: int, nv: int,
+                        dt: float, num_iters: int, relaxation: float,
+                        baumgarte: float, slop: float, max_depen: float,
+                        bounce_thresh: float, contact: bool, flat: bool):
+    if flat:
+        n_ref = None
+        gv_out_ref, pcp_out_ref, lam_out_ref = rest
+    else:
+        n_ref, gv_out_ref, pcp_out_ref, lam_out_ref = rest
+    Minv = minv_ref[:]      # (nv, nv, B)
+    gv = gv_ref[:]          # (nv, B)
+    qdd = dyn_core(sw_ref[:], sv_ref[:], a_ref[:], b_ref[:], m_ref[:],
+                   Minv, g_ref[:], tau_ref[:], gv,
+                   anc=anc, joint_body=joint_body, nb=nb, nj=nj, nv=nv)
     gv_free = gv + dt * qdd
 
     if contact:

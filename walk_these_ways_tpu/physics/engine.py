@@ -577,6 +577,45 @@ class DynamicsCache(NamedTuple):
     pallas_ops: PallasOps = None
 
 
+def build_pallas_env_inputs(model: RobotModel, state: PhysicsState,
+                            dyn: DynamicsParams,
+                            terrain: "Terrain | None" = None,
+                            block: int = 256):
+    """Env-minor kernel inputs for the Pallas pipeline: the scalar-per-env
+    dynamics cache (physics/envminor.py) plus per-point gap offsets,
+    friction/restitution, gravity and (heightfield only) surface normals.
+    Shared by build_dynamics_cache (per-substep kernels) and the
+    whole-control-step kernel path (ops/pallas_megastep.py).
+
+    Returns (em: EnvMinorCache, rh_t (P, Npad), mu_t (1, Npad),
+    e_t (1, Npad), g_t (3, Npad), n_t (P, 3, Npad) | None)."""
+    from ..ops import pallas_contact as pc
+    from . import envminor
+    f32 = state.base_pos.dtype
+    N = state.base_pos.shape[0]
+    em = envminor.build_cache_envminor(model, state, dyn, block)
+    P = model.cp_body.shape[0]
+    # per-point radius + terrain height; on a heightfield, h and the
+    # surface normal are sampled at the cache geometry (exact mode
+    # rebuilds the cache per substep => fresh h/n; reuse mode holds
+    # them for the control step — the same first-order-in-dt
+    # approximation reuse makes for J/M)
+    radius = jnp.asarray(model.cp_radius, dtype=f32)
+    Npad = em.Sw_t.shape[-1]
+    if terrain is not None and terrain.height.shape != (2, 2):
+        p_cp = pc.from_env_minor(em.p_cp_t, N)           # (N, P, 3)
+        h, n_srf = terrain.lookup(p_cp[..., 0], p_cp[..., 1])
+        rh_t = pc.to_env_minor(h + radius[None, :], block)
+        n_t = pc.to_env_minor(n_srf, block)
+    else:
+        rh_t = jnp.broadcast_to(radius[:, None], (P, Npad))
+        n_t = None
+    mu_t = pc.to_env_minor(0.5 * (dyn.friction[:, None] + 1.0), block)
+    e_t = pc.to_env_minor(dyn.restitution[:, None], block)
+    g_t = pc.to_env_minor(dyn.gravity, block)
+    return em, rh_t, mu_t, e_t, g_t, n_t
+
+
 def build_dynamics_cache(model: RobotModel, params: SimParams,
                          state: PhysicsState, dyn: DynamicsParams,
                          terrain: "Terrain | None" = None) -> DynamicsCache:
@@ -588,34 +627,15 @@ def build_dynamics_cache(model: RobotModel, params: SimParams,
         # (physics/envminor.py), J/Lam in the Pallas cache kernel — no
         # N-major dynamics tensor is ever materialized
         from ..ops import pallas_contact as pc
-        from . import envminor
         interpret = jax.default_backend() != "tpu"
         block = 256
-        em = envminor.build_cache_envminor(model, state, dyn, block)
-        P = model.cp_body.shape[0]
+        em, rh_t, mu_t, e_t, g_t, n_t = build_pallas_env_inputs(
+            model, state, dyn, terrain, block)
         anc_pn = jnp.asarray(model.anc_dof_body[:, model.cp_body].T,
                              dtype=f32)                      # (P, nv)
         J_t, Lam_t = pc.build_contact_cache_pallas(
             anc_pn, em.Sw_t, em.Sv_t, em.Minv_t, em.r_t, block=block,
             interpret=interpret)
-        # per-point radius + terrain height; on a heightfield, h and the
-        # surface normal are sampled at the cache geometry (exact mode
-        # rebuilds the cache per substep => fresh h/n; reuse mode holds
-        # them for the control step — the same first-order-in-dt
-        # approximation reuse makes for J/M)
-        radius = jnp.asarray(model.cp_radius, dtype=f32)
-        Npad = em.Sw_t.shape[-1]
-        if terrain is not None and terrain.height.shape != (2, 2):
-            p_cp = pc.from_env_minor(em.p_cp_t, N)           # (N, P, 3)
-            h, n_srf = terrain.lookup(p_cp[..., 0], p_cp[..., 1])
-            rh_t = pc.to_env_minor(h + radius[None, :], block)
-            n_t = pc.to_env_minor(n_srf, block)
-        else:
-            rh_t = jnp.broadcast_to(radius[:, None], (P, Npad))
-            n_t = None
-        mu_t = pc.to_env_minor(0.5 * (dyn.friction[:, None] + 1.0), block)
-        e_t = pc.to_env_minor(dyn.restitution[:, None], block)
-        g_t = pc.to_env_minor(dyn.gravity, block)
         pallas_ops = PallasOps(
             J_t=J_t, Lam_t=Lam_t, Minv_t=em.Minv_t, rh_t=rh_t, mu_t=mu_t,
             e_t=e_t, p_cp_t=em.p_cp_t, Sw_t=em.Sw_t, Sv_t=em.Sv_t,
@@ -791,6 +811,103 @@ def physics_substep_cached(
     p_cp_new = p_cp + dt * v_cp
     return new_state, ContactInfo(report_forces=seg, foot_forces=foot_forces), \
         p_cp_new
+
+
+# 128-env blocks for the mega-kernel: its working set (double-buffered
+# cache inputs + in-VMEM J build) exceeds the 16 MB scoped-vmem limit at 256
+MEGASTEP_BLOCK = 128
+
+
+def control_step_megakernel(
+    model: RobotModel,
+    params: SimParams,
+    state: PhysicsState,
+    dyn: DynamicsParams,
+    terrain: "Terrain | None",
+    tgt_eff: jnp.ndarray,          # (N, D, 12) per-substep effective targets
+    strengths: jnp.ndarray,        # (N, 12)
+    torque_limits: jnp.ndarray,    # (12,)
+    ctrl,                          # ("P", kp_eff, kd_eff) or
+                                   # ("actuator_net", blockdiag_weights,
+                                   #  (el, ell, vl, vll) each (N, 12))
+    decimation: int,
+):
+    """One whole control step through the Pallas mega-kernel
+    (ops/pallas_megastep.py): `decimation` substeps of torque model +
+    cached dynamics + contact + integration in a single launch, with the
+    J/Lam cache built in-kernel.  Reuse-mode semantics (cache anchored at
+    the entry state, contact points advanced at velocity level).
+
+    Returns (new_state, lam_t, pcp_t, pcp_prev_t, torques (N, 12),
+    hist (dict of (N, 12) actuator histories, empty for P control))."""
+    from ..ops import pallas_contact as pc
+    from ..ops import pallas_megastep as pm
+    f32 = state.base_pos.dtype
+    N = state.base_pos.shape[0]
+    block = MEGASTEP_BLOCK
+    interpret = jax.default_backend() != "tpu"
+
+    em, rh_t, mu_t, e_t, g_t, n_t = build_pallas_env_inputs(
+        model, state, dyn, terrain, block)
+    q_t = pc.to_env_minor(state.q, block)
+    qd_t = pc.to_env_minor(state.qd, block)
+    pos_t = pc.to_env_minor(state.base_pos, block)
+    quat_t = pc.to_env_minor(state.base_quat, block)
+    lin_t = pc.to_env_minor(state.base_lin_vel, block)
+    ang_t = pc.to_env_minor(state.base_ang_vel, block)
+    tgt_t = pc.to_env_minor(tgt_eff, block)          # (D, 12, Npad)
+    strengths_t = pc.to_env_minor(strengths, block)
+
+    if ctrl[0] == "P":
+        _, kp_eff, kd_eff = ctrl
+        ctrl_inputs = (pc.to_env_minor(kp_eff, block),
+                       pc.to_env_minor(kd_eff, block))
+    else:
+        _, weights, hists = ctrl
+        ctrl_inputs = tuple(weights) + tuple(
+            pc.to_env_minor(h, block) for h in hists)
+
+    vlim = jnp.concatenate([
+        jnp.full((3,), params.max_base_ang_vel, f32),
+        jnp.full((3,), params.max_base_lin_vel, f32),
+        jnp.asarray(model.dof_vel_limit, dtype=f32)])[:, None]
+    tlim = jnp.asarray(torque_limits, dtype=f32)[:, None]
+    qlo = jnp.asarray(model.dof_lower, dtype=f32)[:, None]
+    qhi = jnp.asarray(model.dof_upper, dtype=f32)[:, None]
+
+    outs = pm.control_step_pallas(
+        em, rh_t, mu_t, e_t, g_t, n_t,
+        q_t, qd_t, pos_t, quat_t, lin_t, ang_t,
+        tgt_t, strengths_t, ctrl_inputs,
+        vlim, tlim, qlo, qhi,
+        model=model, control_type=ctrl[0],
+        dt=params.dt, num_iters=params.num_contact_iters,
+        relaxation=params.relaxation, baumgarte=params.contact_baumgarte,
+        slop=params.contact_slop,
+        max_depen=params.max_depenetration_velocity,
+        bounce_thresh=params.bounce_threshold_velocity,
+        contact=bool(params.contact_enabled),
+        limit_stiffness=params.joint_limit_stiffness,
+        limit_damping=params.joint_limit_damping,
+        max_base_ang_vel=params.max_base_ang_vel,
+        max_base_lin_vel=params.max_base_lin_vel,
+        decimation=decimation, block=block, interpret=interpret)
+    (q_o, qd_o, pos_o, quat_o, lin_o, ang_o, pcp_t, pcp_prev_t, lam_t,
+     tau_o) = outs[:10]
+    new_state = PhysicsState(
+        base_pos=pc.from_env_minor(pos_o, N),
+        base_quat=pc.from_env_minor(quat_o, N),
+        base_lin_vel=pc.from_env_minor(lin_o, N),
+        base_ang_vel=pc.from_env_minor(ang_o, N),
+        q=pc.from_env_minor(q_o, N),
+        qd=pc.from_env_minor(qd_o, N))
+    torques = pc.from_env_minor(tau_o, N)
+    hist = {}
+    if ctrl[0] != "P":
+        el, ell, vl, vll = (pc.from_env_minor(h, N) for h in outs[10:14])
+        hist = dict(joint_pos_err_last=el, joint_pos_err_last_last=ell,
+                    joint_vel_last=vl, joint_vel_last_last=vll)
+    return new_state, lam_t, pcp_t, pcp_prev_t, torques, hist
 
 
 def contact_report_from_lam_t(model: RobotModel, lam_t: jnp.ndarray,
