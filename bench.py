@@ -67,4 +67,12 @@ def main(num_envs: int = 4000, warmup: int = 3, iters: int = 20):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    main(num_envs=n)
+    # one retry: the TPU tunnel occasionally drops a dispatch when another
+    # process contended for the chip moments earlier; a failed attempt
+    # poisons its buffers, a fresh attempt recovers
+    try:
+        main(num_envs=n)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench attempt 1 failed ({type(e).__name__}); retrying",
+              file=sys.stderr, flush=True)
+        main(num_envs=n)

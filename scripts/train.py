@@ -18,7 +18,7 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
               num_eval_envs: int = 0, eval_expert: bool = False,
               algo: str = "cse", use_mesh: bool = False,
               multihost: bool = False, exact: bool = False,
-              terrain: str = "flat"):
+              terrain: str = "flat", warm_start: bool | None = None):
     from walk_these_ways_tpu.go1_config import mob_train_cfg, rough_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
@@ -40,6 +40,15 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
     cfg_fn = rough_train_cfg if terrain == "rough" else mob_train_cfg
     cfg = cfg_fn(num_envs=num_envs)
     eval_cfg = cfg_fn(num_envs=num_eval_envs) if num_eval_envs else None
+    if warm_start is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, sim=dataclasses.replace(cfg.sim,
+                                         contact_warm_start=warm_start))
+        if eval_cfg is not None:
+            eval_cfg = dataclasses.replace(
+                eval_cfg, sim=dataclasses.replace(
+                    eval_cfg.sim, contact_warm_start=warm_start))
     if exact:
         # exact per-substep dynamics (no matrix reuse); still on the
         # Pallas pipeline on flat ground
@@ -85,6 +94,13 @@ if __name__ == "__main__":
     p.add_argument("--terrain", choices=["flat", "rough"], default="flat",
                    help="flat = MoB boxes tiles (default); rough = "
                         "rough-slope heightfield")
+    p.add_argument("--warm-start", dest="warm_start", action="store_true",
+                   default=None,
+                   help="warm-start contact impulses across decimation "
+                        "substeps (megastep path)")
+    p.add_argument("--no-warm-start", dest="warm_start",
+                   action="store_false",
+                   help="force cold-start contact solves")
     a = p.parse_args()
     log_dir = a.log_dir or os.path.join(
         "runs", "gait-conditioned-agility",
@@ -92,4 +108,4 @@ if __name__ == "__main__":
     train_go1(a.num_envs, a.iterations, log_dir, a.seed,
               num_eval_envs=a.num_eval_envs, eval_expert=a.eval_expert,
               algo=a.algo, use_mesh=a.mesh, multihost=a.multihost,
-              exact=a.exact, terrain=a.terrain)
+              exact=a.exact, terrain=a.terrain, warm_start=a.warm_start)

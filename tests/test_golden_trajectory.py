@@ -21,7 +21,12 @@ def _rollout():
     from walk_these_ways_tpu.go1_config import mob_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
 
+    import dataclasses
     cfg = mob_train_cfg(num_envs=64)
+    # pin the cold-start contact solver: the golden file predates the
+    # warm-start default and this test guards the core solver path
+    cfg = dataclasses.replace(cfg, sim=dataclasses.replace(
+        cfg.sim, contact_warm_start=False))
     env = LeggedRobotEnv(cfg)
     state, obs = env.reset(jax.random.PRNGKey(1234))
     step = jax.jit(env.step)

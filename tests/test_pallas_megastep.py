@@ -46,11 +46,16 @@ def test_blockdiag_actuator_weights_match_reference_mlp():
 
 def _envs(n, megastep_overrides, substep_overrides):
     base = mob_train_cfg(num_envs=n)
+    # warm start is a megastep-only feature (validated separately in
+    # test_warm_start.py); pin it off so both paths run the identical
+    # cold-start iteration this parity test is about
     cfg_m = dataclasses.replace(
-        base, sim=dataclasses.replace(base.sim, megastep=True),
+        base, sim=dataclasses.replace(base.sim, megastep=True,
+                                      contact_warm_start=False),
         **megastep_overrides)
     cfg_s = dataclasses.replace(
-        base, sim=dataclasses.replace(base.sim, megastep=False),
+        base, sim=dataclasses.replace(base.sim, megastep=False,
+                                      contact_warm_start=False),
         **substep_overrides)
     return LeggedRobotEnv(cfg_m), LeggedRobotEnv(cfg_s)
 

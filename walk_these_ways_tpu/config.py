@@ -379,6 +379,17 @@ class SimCfg:
     # integration) into one Pallas launch (ops/pallas_megastep.py); only
     # takes effect with use_pallas_contact + reuse_matrices
     megastep: bool = True
+    # warm-start the contact impulses: substeps after the first start the
+    # projected-Jacobi iteration from the previous substep's converged
+    # impulses (as PhysX does) and run num_contact_iters_warm iterations
+    # instead of num_contact_iters.  Only takes effect on the megastep
+    # path; exact mode (reuse_matrices=False) always cold-starts.
+    # Validated default-on: stability/penetration/stance metrics match the
+    # cold-start solver and the 1500-iter learning curve is on top of the
+    # cold baseline (runs/validate_warmstart vs runs/validate_pallas);
+    # worth ~15% train throughput.
+    contact_warm_start: bool = True
+    num_contact_iters_warm: int = 6
 
 
 @dataclass(frozen=True)

@@ -184,7 +184,9 @@ class LeggedRobotEnv:
         # terrains use the XLA solver
         self.sim_params = engine.SimParams(
             dt=cfg.sim.dt, num_contact_iters=cfg.sim.num_contact_iters,
-            use_pallas_contact=cfg.sim.use_pallas_contact)
+            use_pallas_contact=cfg.sim.use_pallas_contact,
+            contact_warm_start=cfg.sim.contact_warm_start,
+            num_contact_iters_warm=cfg.sim.num_contact_iters_warm)
 
         # constants -------------------------------------------------------
         self.default_dof_pos = default_dof_pos(

@@ -208,7 +208,7 @@ def point_dof_groups(anc_p):
 def contact_core(J, Lam, Minv, p_cp, gv0, rh, mu, e, vlim, *,
                  num_iters: int, relaxation: float, dt: float,
                  baumgarte: float, slop: float, max_depen: float,
-                 bounce_thresh: float, groups=None, n=None):
+                 bounce_thresh: float, groups=None, n=None, lam0=None):
     """Shared in-kernel contact pipeline (gaps -> targets -> projected
     Jacobi -> point advance) on env-minor VMEM values.  Called from the
     contact-only substep kernel below and from the full dynamics substep
@@ -218,7 +218,12 @@ def contact_core(J, Lam, Minv, p_cp, gv0, rh, mu, e, vlim, *,
     per-point surface normal (P, 3, B) for heightfield terrain; None means
     flat ground (n = +z), which drops the normal-decomposition arithmetic
     entirely (mirrors engine._impulse_iteration general-normal math vs the
-    flat specialization).  Returns (gv_new, p_cp_new, lam)."""
+    flat specialization).  `lam0` warm-starts the iteration: the solver
+    iterates over the TOTAL impulse lam with gv(lam) = gv0 + M^-1 J^T lam,
+    so a nonzero initial lam both seeds the iterate and pre-applies its
+    impulse to the velocity (PhysX-style warm start — the targets/bounce
+    terms still come from the un-warmed free velocity gv0).
+    Returns (gv_new, p_cp_new, lam)."""
     P = p_cp.shape[0]
     nv = gv0.shape[0]
     B = gv0.shape[-1]
@@ -327,8 +332,13 @@ def contact_core(J, Lam, Minv, p_cp, gv0, rh, mu, e, vlim, *,
         dgv = jnp.sum(Minv * jta[None, :, :], axis=1)            # (nv, B)
         return new_lam, gv + dgv
 
-    lam0 = jnp.zeros((P, 3, B), J.dtype)
-    lam, gv = jax.lax.fori_loop(0, num_iters, body, (lam0, gv0))
+    if lam0 is None:
+        lam_init, gv_init = jnp.zeros((P, 3, B), J.dtype), gv0
+    else:
+        jta = jt_apply(lam0)
+        lam_init = lam0
+        gv_init = gv0 + jnp.sum(Minv * jta[None, :, :], axis=1)
+    lam, gv = jax.lax.fori_loop(0, num_iters, body, (lam_init, gv_init))
     # advance with the clamped velocities the integrator will apply
     # (engine.py clamps qd to the URDF limits and the base to its caps)
     gv_cl = jnp.clip(gv, -vlim, vlim)

@@ -117,7 +117,8 @@ def _quat_integrate(quat, omega, dt):
 def _megastep_kernel(*refs,
                      anc: np.ndarray, joint_body: np.ndarray, groups: tuple,
                      nb: int, nj: int, nv: int, P: int, D: int, dt: float,
-                     num_iters: int, relaxation: float, baumgarte: float,
+                     num_iters: int, warm_iters: int, relaxation: float,
+                     baumgarte: float,
                      slop: float, max_depen: float, bounce_thresh: float,
                      contact: bool, flat: bool, control_type: str,
                      limit_stiffness: float, limit_damping: float,
@@ -225,11 +226,17 @@ def _megastep_kernel(*refs,
 
         # -- contact solve + point advance --
         if contact:
+            # warm start: substeps after the first seed the iteration with
+            # the previous substep's converged impulses (PhysX-style) and
+            # run the shorter warm iteration count
+            warm = warm_iters > 0 and s > 0
             gv_new, pcp_new, lam = pc.contact_core(
                 J, Lam, Minv, pcp, gv_free, rh, mu, e, vlim,
-                num_iters=num_iters, relaxation=relaxation, dt=dt,
+                num_iters=warm_iters if warm else num_iters,
+                relaxation=relaxation, dt=dt,
                 baumgarte=baumgarte, slop=slop, max_depen=max_depen,
-                bounce_thresh=bounce_thresh, groups=groups, n=n)
+                bounce_thresh=bounce_thresh, groups=groups, n=n,
+                lam0=lam if warm else None)
         else:
             gv_new = gv_free
             pcp_new = pcp
@@ -266,7 +273,8 @@ def control_step_pallas(em, rh_t, mu_t, e_t, g_t, n_t,
                         tgt_t, strengths_t, ctrl_inputs,
                         vlim, tlim, qlo, qhi, *,
                         model, control_type: str,
-                        dt: float, num_iters: int, relaxation: float,
+                        dt: float, num_iters: int, warm_iters: int = 0,
+                        relaxation: float,
                         baumgarte: float, slop: float, max_depen: float,
                         bounce_thresh: float, contact: bool,
                         limit_stiffness: float, limit_damping: float,
@@ -332,7 +340,8 @@ def control_step_pallas(em, rh_t, mu_t, e_t, g_t, n_t,
     kernel = functools.partial(
         _megastep_kernel, anc=anc, joint_body=np.asarray(model.joint_body),
         groups=groups, nb=nb, nj=nj, nv=nv, P=P, D=decimation, dt=dt,
-        num_iters=num_iters, relaxation=relaxation, baumgarte=baumgarte,
+        num_iters=num_iters, warm_iters=warm_iters,
+        relaxation=relaxation, baumgarte=baumgarte,
         slop=slop, max_depen=max_depen, bounce_thresh=bounce_thresh,
         contact=contact, flat=flat, control_type=control_type,
         limit_stiffness=limit_stiffness, limit_damping=limit_damping,

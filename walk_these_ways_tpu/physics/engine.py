@@ -80,6 +80,13 @@ class SimParams:
     # run the impulse iteration as a Pallas VMEM-resident kernel
     # (ops/pallas_contact.py) instead of an XLA fori_loop
     use_pallas_contact: bool = False
+    # warm-start contact impulses across the decimation substeps of one
+    # control step (megastep path only): substep 0 cold-starts with
+    # num_contact_iters iterations, later substeps start from the previous
+    # substep's converged impulses and run num_contact_iters_warm
+    # iterations.  PhysX warm-starts its TGS solver the same way.
+    contact_warm_start: bool = False
+    num_contact_iters_warm: int = 6
 
     def __hash__(self):
         return hash(tuple(dataclasses.asdict(self).values()))
@@ -882,6 +889,8 @@ def control_step_megakernel(
         vlim, tlim, qlo, qhi,
         model=model, control_type=ctrl[0],
         dt=params.dt, num_iters=params.num_contact_iters,
+        warm_iters=(params.num_contact_iters_warm
+                    if params.contact_warm_start else 0),
         relaxation=params.relaxation, baumgarte=params.contact_baumgarte,
         slop=params.contact_slop,
         max_depen=params.max_depenetration_velocity,
