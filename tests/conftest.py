@@ -19,6 +19,19 @@ os.environ.setdefault(
                  ".jax_cache_tests"))
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The interpret-mode Pallas parity suites each hold multi-GB compiled
+    programs; letting them accumulate across the whole run has crashed
+    the CPU client (segfault in whichever heavy module ran ~55 tests in,
+    reproducible, while every module passes in a fresh process)."""
+    yield
+    jax.clear_caches()

@@ -93,7 +93,12 @@ def test_env_step_pallas_matches_xla():
     from walk_these_ways_tpu.go1_config import mob_train_cfg
 
     n = 8
-    cfg_p = mob_train_cfg(num_envs=n)          # pallas on by default
+    base = mob_train_cfg(num_envs=n)
+    # pin the cold-start solver on both sides: warm start is a
+    # megastep-only feature (validated in test_warm_start.py) and the XLA
+    # reference side always cold-starts
+    cfg_p = dataclasses.replace(
+        base, sim=dataclasses.replace(base.sim, contact_warm_start=False))
     # (explicitly force the XLA solver for the reference side — the MoB
     # config defaults to the Pallas path, so without this the test would
     # compare pallas against itself)

@@ -113,7 +113,8 @@ def test_megastep_matches_substep_p_control():
                              randomize_lag_timesteps=False, lag_timesteps=0)
     cfg_m = dataclasses.replace(
         base, control=ctrl, domain_rand=dr,
-        sim=dataclasses.replace(base.sim, megastep=True))
+        sim=dataclasses.replace(base.sim, megastep=True,
+                                contact_warm_start=False))
     cfg_s = dataclasses.replace(
         cfg_m, sim=dataclasses.replace(cfg_m.sim, megastep=False))
     env_m, env_s = LeggedRobotEnv(cfg_m), LeggedRobotEnv(cfg_s)
@@ -132,7 +133,8 @@ def test_megastep_heightfield():
         teleport_robots=False, curriculum=False, center_robots=False)
     cfg_m = dataclasses.replace(
         base, terrain=terr,
-        sim=dataclasses.replace(base.sim, megastep=True))
+        sim=dataclasses.replace(base.sim, megastep=True,
+                                contact_warm_start=False))
     cfg_s = dataclasses.replace(
         cfg_m, sim=dataclasses.replace(cfg_m.sim, megastep=False))
     env_m, env_s = LeggedRobotEnv(cfg_m), LeggedRobotEnv(cfg_s)

@@ -390,6 +390,13 @@ class SimCfg:
     # worth ~15% train throughput.
     contact_warm_start: bool = True
     num_contact_iters_warm: int = 6
+    # additionally carry the converged impulses across control steps in
+    # EnvState (zeroed on reset) and warm-start the FIRST substep from
+    # them at the warm iteration count — all 4 substeps then run
+    # num_contact_iters_warm iterations.  Validated like the within-step
+    # warm start (stability/stance equal to cold; 1500-iter learning run
+    # runs/validate_xwarm on top of the cold baseline); ~4% throughput.
+    contact_cross_step_warm_start: bool = True
 
 
 @dataclass(frozen=True)

@@ -95,6 +95,12 @@ class EnvState(NamedTuple):
     env_command_categories: jnp.ndarray  # (N,) int32
     # observation history (HistoryWrapper state)
     obs_history: jnp.ndarray             # (N, H * num_obs)
+    # contact impulses carried across control steps for the cross-step
+    # warm start (env-minor (P, 3, Npad) like the mega-kernel carries
+    # them; zeroed for reset envs).  Always allocated so the pytree
+    # structure is config-independent; stays zero unless
+    # sim.contact_cross_step_warm_start is on.
+    contact_lam_t: jnp.ndarray           # (P, 3, Npad)
 
 
 class StepInfo(NamedTuple):
@@ -186,7 +192,9 @@ class LeggedRobotEnv:
             dt=cfg.sim.dt, num_contact_iters=cfg.sim.num_contact_iters,
             use_pallas_contact=cfg.sim.use_pallas_contact,
             contact_warm_start=cfg.sim.contact_warm_start,
-            num_contact_iters_warm=cfg.sim.num_contact_iters_warm)
+            num_contact_iters_warm=cfg.sim.num_contact_iters_warm,
+            contact_cross_step_warm_start=(
+                cfg.sim.contact_cross_step_warm_start))
 
         # constants -------------------------------------------------------
         self.default_dof_pos = default_dof_pos(
@@ -410,6 +418,9 @@ class LeggedRobotEnv:
             env_command_bins=jnp.zeros(N, jnp.int32),
             env_command_categories=jnp.zeros(N, jnp.int32),
             obs_history=jnp.zeros((N, self.num_obs_history)),
+            contact_lam_t=jnp.zeros(
+                (self.model.cp_body.shape[0], 3,
+                 -(-N // engine.MEGASTEP_BLOCK) * engine.MEGASTEP_BLOCK)),
         )
         return state
 
@@ -695,13 +706,19 @@ class LeggedRobotEnv:
                 return ("P", self.p_gains[None, :] * st.Kp_factors,
                         self.d_gains[None, :] * st.Kd_factors)
 
+            cross_warm = (self.sim_params.contact_warm_start
+                          and self.sim_params.contact_cross_step_warm_start)
             if cfg.sim.reuse_matrices:
                 phys2, lam_t, p_cp_t, p_cp_prev_t, torques, hist = \
                     engine.control_step_megakernel(
                         m, self.sim_params, state.phys, dyn, self.terrain,
                         tgt_eff, state.motor_strengths, self.torque_limits,
-                        _ctrl(state), D)
+                        _ctrl(state), D,
+                        lam_in_t=(state.contact_lam_t if cross_warm
+                                  else None))
                 state = state._replace(phys=phys2, torques=torques, **hist)
+                if cross_warm:
+                    state = state._replace(contact_lam_t=lam_t)
             else:
                 P_ = m.cp_body.shape[0]
                 blk = engine.MEGASTEP_BLOCK
@@ -1096,6 +1113,11 @@ class LeggedRobotEnv:
         # dof-prop DR on reset (legged_robot.py:165)
         state = self._apply_dof_props_mask(
             state, mask, jax.random.fold_in(rng, 1))
+        # cross-step contact warm-start seeds are stale for reset envs:
+        # zero them (env-minor layout, pad the mask to Npad)
+        Npad = state.contact_lam_t.shape[-1]
+        keep_t = jnp.pad(1.0 - mask.astype(state.contact_lam_t.dtype),
+                         (0, Npad - mask.shape[0]))
         return state._replace(
             last_actions=jnp.where(mm, 0.0, state.last_actions),
             last_last_actions=jnp.where(mm, 0.0, state.last_last_actions),
@@ -1104,6 +1126,7 @@ class LeggedRobotEnv:
             gait_indices=jnp.where(mask, 0.0, state.gait_indices),
             lag_buffer=jnp.where(mask[:, None, None], 0.0, state.lag_buffer),
             episode_sums=jnp.where(mm, 0.0, state.episode_sums),
+            contact_lam_t=state.contact_lam_t * keep_t,
         )
 
     # -- public reset ------------------------------------------------------

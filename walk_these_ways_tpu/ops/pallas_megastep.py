@@ -117,8 +117,8 @@ def _quat_integrate(quat, omega, dt):
 def _megastep_kernel(*refs,
                      anc: np.ndarray, joint_body: np.ndarray, groups: tuple,
                      nb: int, nj: int, nv: int, P: int, D: int, dt: float,
-                     num_iters: int, warm_iters: int, relaxation: float,
-                     baumgarte: float,
+                     num_iters: int, warm_iters: int, warm0: bool,
+                     relaxation: float, baumgarte: float,
                      slop: float, max_depen: float, bounce_thresh: float,
                      contact: bool, flat: bool, control_type: str,
                      limit_stiffness: float, limit_damping: float,
@@ -142,6 +142,7 @@ def _megastep_kernel(*refs,
     e = nxt()                 # (1, B)
     g = nxt()                 # (3, B)
     n = None if flat else nxt()   # (P, 3, B)
+    lam_in = nxt() if warm0 else None   # (P, 3, B) cross-step warm seed
     q = nxt()                 # (12, B)
     qd = nxt()                # (12, B)
     pos = nxt()               # (3, B)
@@ -180,7 +181,7 @@ def _megastep_kernel(*refs,
 
     ref_pt = pos              # cache anchor = entry base position
     pcp_prev = pcp
-    lam = jnp.zeros((P, 3, B), f32)
+    lam = jnp.zeros((P, 3, B), f32) if lam_in is None else lam_in
     tau_m = jnp.zeros((nj, B), f32)
     zeros6 = jnp.zeros((6, B), f32)
     vlim_j = vlim[6:]         # (12, 1)
@@ -228,8 +229,9 @@ def _megastep_kernel(*refs,
         if contact:
             # warm start: substeps after the first seed the iteration with
             # the previous substep's converged impulses (PhysX-style) and
-            # run the shorter warm iteration count
-            warm = warm_iters > 0 and s > 0
+            # run the shorter warm iteration count; with a cross-step seed
+            # (warm0) the first substep warm-starts too
+            warm = warm_iters > 0 and (s > 0 or warm0)
             gv_new, pcp_new, lam = pc.contact_core(
                 J, Lam, Minv, pcp, gv_free, rh, mu, e, vlim,
                 num_iters=warm_iters if warm else num_iters,
@@ -271,7 +273,7 @@ def _const_spec(shape):
 def control_step_pallas(em, rh_t, mu_t, e_t, g_t, n_t,
                         q_t, qd_t, pos_t, quat_t, lin_t, ang_t,
                         tgt_t, strengths_t, ctrl_inputs,
-                        vlim, tlim, qlo, qhi, *,
+                        vlim, tlim, qlo, qhi, lam_in_t=None, *,
                         model, control_type: str,
                         dt: float, num_iters: int, warm_iters: int = 0,
                         relaxation: float,
@@ -315,6 +317,10 @@ def control_step_pallas(em, rh_t, mu_t, e_t, g_t, n_t,
     if not flat:
         inputs.append(n_t)
         specs.append(_spec(n_t.shape, block))
+    warm0 = lam_in_t is not None
+    if warm0:
+        inputs.append(lam_in_t)
+        specs.append(_spec(lam_in_t.shape, block))
     state_in = [q_t, qd_t, pos_t, quat_t, lin_t, ang_t, tgt_t, strengths_t]
     inputs += state_in
     specs += [_spec(x.shape, block) for x in state_in]
@@ -340,7 +346,7 @@ def control_step_pallas(em, rh_t, mu_t, e_t, g_t, n_t,
     kernel = functools.partial(
         _megastep_kernel, anc=anc, joint_body=np.asarray(model.joint_body),
         groups=groups, nb=nb, nj=nj, nv=nv, P=P, D=decimation, dt=dt,
-        num_iters=num_iters, warm_iters=warm_iters,
+        num_iters=num_iters, warm_iters=warm_iters, warm0=warm0,
         relaxation=relaxation, baumgarte=baumgarte,
         slop=slop, max_depen=max_depen, bounce_thresh=bounce_thresh,
         contact=contact, flat=flat, control_type=control_type,

@@ -87,6 +87,11 @@ class SimParams:
     # iterations.  PhysX warm-starts its TGS solver the same way.
     contact_warm_start: bool = False
     num_contact_iters_warm: int = 6
+    # additionally seed the FIRST substep from the impulses carried in the
+    # env state from the previous control step (and run it at the warm
+    # iteration count too) — contacts persist across the 20 ms control
+    # boundary just as they do across the 5 ms substeps
+    contact_cross_step_warm_start: bool = False
 
     def __hash__(self):
         return hash(tuple(dataclasses.asdict(self).values()))
@@ -838,6 +843,7 @@ def control_step_megakernel(
                                    # ("actuator_net", blockdiag_weights,
                                    #  (el, ell, vl, vll) each (N, 12))
     decimation: int,
+    lam_in_t=None,                 # (P, 3, Npad) cross-step warm seed
 ):
     """One whole control step through the Pallas mega-kernel
     (ops/pallas_megastep.py): `decimation` substeps of torque model +
@@ -886,7 +892,7 @@ def control_step_megakernel(
         em, rh_t, mu_t, e_t, g_t, n_t,
         q_t, qd_t, pos_t, quat_t, lin_t, ang_t,
         tgt_t, strengths_t, ctrl_inputs,
-        vlim, tlim, qlo, qhi,
+        vlim, tlim, qlo, qhi, lam_in_t,
         model=model, control_type=ctrl[0],
         dt=params.dt, num_iters=params.num_contact_iters,
         warm_iters=(params.num_contact_iters_warm
