@@ -123,3 +123,43 @@ def test_gaitwise_postprocess():
     assert out[2, 5] == 0 and out[2, 7] == 0
     # bound: phase/offset zero
     assert out[3, 5] == 0 and out[3, 6] == 0
+
+
+# -- generic grid + SumCurriculum (reference curriculum.py:17-111) -----------
+
+def test_generic_grid_and_sampling():
+    g = curr.make_generic_grid(x=(-1.0, 1.0, 5), y=(-1.0, 1.0, 2),
+                               z=(-1.0, 1.0, 11))
+    # same grid shape assert as the reference __main__ check
+    # (curriculum.py:163-164)
+    assert g.grid.shape == (5 * 2 * 11, 3)
+    assert g.counts == (5, 2, 11)
+    w = jnp.ones(g.grid.shape[0])
+    vals, bins = curr.sample_generic(w, g, jax.random.PRNGKey(0), 500)
+    assert vals.shape == (500, 3) and bins.shape == (500,)
+    # samples stay inside the overall range
+    assert (np.abs(np.asarray(vals)) <= 1.0 + 1e-6).all()
+    # weighted sampling: zeroing all but bin 0 collapses the choice
+    w0 = jnp.zeros_like(w).at[0].set(1.0)
+    _, bins0 = curr.sample_generic(w0, g, jax.random.PRNGKey(1), 100)
+    assert (np.asarray(bins0) == 0).all()
+
+
+def test_sum_curriculum_success_rates():
+    g = curr.make_generic_grid(x=(-1.0, 1.0, 4), y=(0.0, 1.0, 3))
+    st = curr.sum_init(g)
+    bins = jnp.array([0, 0, 5, 11])
+    err = jnp.array([0.1, 0.9, 0.2, 0.4])
+    st = curr.sum_update(st, bins, err, threshold=0.5)
+    s, t = np.asarray(st.success), np.asarray(st.trials)
+    # bin 0: two trials, one success (0.1 < 0.5 <= 0.9)
+    assert t[0] == 2 and s[0] == 1
+    assert t[5] == 1 and s[5] == 1
+    assert t[11] == 1 and s[11] == 1
+    full = curr.success_rates(st, g, "x", "y")
+    assert full.shape == (4, 3)
+    marg_x = curr.success_rates(st, g, "x")
+    assert marg_x.shape == (4,)
+    # keyless: scalar overall mean
+    overall = curr.success_rates(st, g)
+    assert overall.shape == ()

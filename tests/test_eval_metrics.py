@@ -17,8 +17,21 @@ def test_metrics_shapes_and_finiteness():
                      env.num_privileged_obs, env.num_obs_history,
                      env.num_actions)
     for name, fn in em.METRICS_FNS.items():
-        out = np.asarray(fn(env, state, params, obs))
-        assert out.shape == (4,), (name, out.shape)
+        out = fn(env, state, params, obs)
+        if name == "auxiliary_rewards":
+            # dict of per-term scaled rewards (reference metrics.py:66-73)
+            assert set(out) == set(env.reward_names)
+            for term, v in out.items():
+                v = np.asarray(v)
+                assert v.shape == (4,), (term, v.shape)
+                assert np.isfinite(v).all(), term
+            continue
+        out = np.asarray(out)
+        if name in ("privileged_obs", "latents"):
+            # per-env vectors (reference metrics.py:79-84)
+            assert out.shape == (4, env.num_privileged_obs), (name, out.shape)
+        else:
+            assert out.shape == (4,), (name, out.shape)
         assert np.isfinite(out).all(), name
 
 

@@ -165,6 +165,84 @@ def sample(
     return cmds, bins.astype(jnp.int32), cats.astype(jnp.int32)
 
 
+# -- generic curriculum grids (reference Curriculum / SumCurriculum) --------
+
+class GenericGrid(NamedTuple):
+    """Static geometry of a generic binned curriculum built from
+    ``key=(low, high, num_bins)`` ranges — the reference's base
+    ``Curriculum.__init__`` (curriculum.py:28-55), minus the host RNG."""
+
+    grid: np.ndarray       # (B, K) bin centroids
+    bin_sizes: np.ndarray  # (K,)
+    counts: Tuple[int, ...]
+    keys: Tuple[str, ...]
+
+
+def make_generic_grid(**key_ranges) -> GenericGrid:
+    axes, sizes, counts = [], [], []
+    for lo, hi, n in key_ranges.values():
+        bs = (hi - lo) / n
+        axes.append(np.linspace(lo + bs / 2, hi - bs / 2, n))
+        sizes.append(bs)
+        counts.append(n)
+    mesh = np.meshgrid(*axes, indexing="ij")
+    grid = np.stack([m.reshape(-1) for m in mesh], axis=-1)
+    return GenericGrid(grid=grid.astype(np.float32),
+                       bin_sizes=np.array(sizes, np.float32),
+                       counts=tuple(counts),
+                       keys=tuple(key_ranges.keys()))
+
+
+def sample_generic(weights: jnp.ndarray, grid: GenericGrid, rng: jax.Array,
+                   n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted bin choice + uniform jitter within the cell — the base
+    ``Curriculum.sample`` (curriculum.py:67-89).  Returns (values, bins)."""
+    k_bin, k_cell = jax.random.split(rng)
+    logw = jnp.log(jnp.maximum(weights, 1e-12))
+    g = jax.random.gumbel(k_bin, (n, weights.shape[0]))
+    bins = jnp.argmax(logw[None, :] + g, axis=-1)
+    centroids = jnp.asarray(grid.grid)[bins]
+    jitter = jax.random.uniform(k_cell, (n, grid.grid.shape[1]),
+                                minval=-0.5, maxval=0.5)
+    return centroids + jitter * jnp.asarray(grid.bin_sizes)[None, :], \
+        bins.astype(jnp.int32)
+
+
+class SumCurriculumState(NamedTuple):
+    """On-device success/trial accumulators per bin — the reference
+    ``SumCurriculum`` (curriculum.py:90-111) without the host round trip."""
+
+    success: jnp.ndarray  # (B,)
+    trials: jnp.ndarray   # (B,)
+
+
+def sum_init(grid: GenericGrid) -> SumCurriculumState:
+    B = grid.grid.shape[0]
+    return SumCurriculumState(success=jnp.zeros(B), trials=jnp.zeros(B))
+
+
+def sum_update(state: SumCurriculumState, bin_inds: jnp.ndarray,
+               l1_error: jnp.ndarray,
+               threshold: float) -> SumCurriculumState:
+    """curriculum.py:97-101: a trial per scored env, a success where the
+    error beats the threshold (scatter-add collapses duplicate bins)."""
+    ok = (l1_error < threshold).astype(jnp.float32)
+    return SumCurriculumState(
+        success=state.success.at[bin_inds].add(ok),
+        trials=state.trials.at[bin_inds].add(1.0))
+
+
+def success_rates(state: SumCurriculumState, grid: GenericGrid,
+                  *keys: str) -> jnp.ndarray:
+    """Success rate marginalized onto the named keys
+    (curriculum.py:103-110): mean over every other grid dimension."""
+    rate = (state.success / (state.trials + 1e-6)).reshape(grid.counts)
+    marginals = tuple(i for i, k in enumerate(grid.keys) if k not in keys)
+    if marginals:
+        rate = rate.mean(axis=marginals)
+    return rate
+
+
 def postprocess_gaitwise(cmds: jnp.ndarray, cats: jnp.ndarray,
                          cfg: CommandsCfg) -> jnp.ndarray:
     """Per-gait phase/offset/bound mapping (legged_robot.py:763-820)."""

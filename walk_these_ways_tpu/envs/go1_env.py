@@ -1000,6 +1000,45 @@ class LeggedRobotEnv:
         return jnp.mean(h, axis=-1)
 
     # -- reward assembly ---------------------------------------------------
+    def make_reward_ctx(self, state):
+        """Build a RewardCtx from an EnvState alone (body-frame kinematics
+        recomputed) — the out-of-step entry used by the eval-metrics
+        library's per-term reward dump (reference
+        eval_metrics/metrics.py:66-73 calls env.reward_functions directly;
+        our reward terms are pure fns of this ctx)."""
+        phys = state.phys
+        gravity_vec = jnp.array([0.0, 0.0, -1.0])[None, :].repeat(
+            self.num_envs, axis=0)
+        return rew_mod.RewardCtx(
+            cfg=self.cfg, dt=self.dt, commands=state.commands,
+            base_pos=phys.base_pos, base_quat=phys.base_quat,
+            base_lin_vel=qops.quat_rotate_inverse(phys.base_quat,
+                                                  phys.base_lin_vel),
+            base_ang_vel=qops.quat_rotate_inverse(phys.base_quat,
+                                                  phys.base_ang_vel),
+            projected_gravity=qops.quat_rotate_inverse(phys.base_quat,
+                                                       gravity_vec),
+            gravity_vec=gravity_vec,
+            dof_pos=phys.q, default_dof_pos=self.default_dof_pos,
+            dof_vel=phys.qd, last_dof_vel=state.last_dof_vel,
+            torques=state.torques, actions=state.actions,
+            last_actions=state.last_actions,
+            last_last_actions=state.last_last_actions,
+            joint_pos_target=state.joint_pos_target,
+            last_joint_pos_target=state.last_joint_pos_target,
+            last_last_joint_pos_target=state.last_last_joint_pos_target,
+            contact_forces=state.contact_forces,
+            foot_velocities=state.foot_velocities,
+            prev_foot_velocities=state.prev_foot_velocities,
+            foot_positions=state.foot_positions,
+            desired_contact_states=state.desired_contact_states,
+            foot_indices=state.foot_indices,
+            last_contacts=state.last_contacts,
+            dof_pos_limits=self.dof_pos_limits,
+            feet_indices=self.feet_indices,
+            penalised_indices=self.penalised_indices,
+        )
+
     def _compute_reward(self, ctx, state, base_lin_vel_b, base_ang_vel_b):
         cfg = self.cfg
         N = self.num_envs

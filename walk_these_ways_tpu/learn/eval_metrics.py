@@ -78,6 +78,28 @@ def termination(env, s, params, obs):
     return (s.episode_length == 0).astype(jnp.float32)
 
 
+def auxiliary_rewards(env, s, params, obs):
+    """Per-term scaled reward dict (reference metrics.py:66-73 loops
+    env.reward_functions; here every active term is a pure fn of the
+    env's RewardCtx)."""
+    from ..envs import rewards as rew_mod
+    ctx = env.make_reward_ctx(s)
+    return {name: rew_mod.TERMS[name](ctx) * scale
+            for name, scale in zip(env.reward_names, env.reward_scales)}
+
+
+def privileged_obs(env, s, params, obs):
+    """reference metrics.py:79-80"""
+    return obs["privileged_obs"]
+
+
+def latents(env, s, params, obs):
+    """The policy's estimated privileged latent (reference metrics.py:83-84
+    uses the RMA env_factor_encoder; the cse variant's analog is the
+    adaptation module's prediction from the obs history)."""
+    return ac.adaptation_forward(params, obs["obs_history"])
+
+
 METRICS_FNS = dict(
     lin_vel_rmsd=lin_vel_rmsd,
     ang_vel_rmsd=ang_vel_rmsd,
@@ -90,6 +112,9 @@ METRICS_FNS = dict(
     froude_number=froude_number,
     adaptation_loss=adaptation_loss,
     termination=termination,
+    auxiliary_rewards=auxiliary_rewards,
+    privileged_obs=privileged_obs,
+    latents=latents,
 )
 
 
