@@ -11,17 +11,20 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-# persistent compile cache: the interpret-mode Pallas parity tests trace
-# large programs (minutes of XLA compile on CPU); cache them across runs
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache_tests"))
-
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the interpret-mode Pallas parity tests trace
+# large programs (minutes of XLA compile on CPU); cache them across runs.
+# NOTE must be the config call, not the env var — the container
+# sitecustomize imports jax before conftest runs, so env-var config is
+# already frozen by now (observed: cache silently "disabled/not
+# initialized" with the env-var route).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
