@@ -18,7 +18,8 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
               num_eval_envs: int = 0, eval_expert: bool = False,
               algo: str = "cse", use_mesh: bool = False,
               multihost: bool = False, exact: bool = False,
-              terrain: str = "flat", warm_start: bool | None = None):
+              terrain: str = "flat", warm_start: bool | None = None,
+              warm_iters: int | None = None):
     from walk_these_ways_tpu.go1_config import mob_train_cfg, rough_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
@@ -49,6 +50,15 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
             eval_cfg = dataclasses.replace(
                 eval_cfg, sim=dataclasses.replace(
                     eval_cfg.sim, contact_warm_start=warm_start))
+    if warm_iters is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, sim=dataclasses.replace(cfg.sim,
+                                         num_contact_iters_warm=warm_iters))
+        if eval_cfg is not None:
+            eval_cfg = dataclasses.replace(
+                eval_cfg, sim=dataclasses.replace(
+                    eval_cfg.sim, num_contact_iters_warm=warm_iters))
     if exact:
         # exact per-substep dynamics (no matrix reuse); still on the
         # Pallas pipeline on flat ground
@@ -101,6 +111,9 @@ if __name__ == "__main__":
     p.add_argument("--no-warm-start", dest="warm_start",
                    action="store_false",
                    help="force cold-start contact solves")
+    p.add_argument("--warm-iters", type=int, default=None,
+                   help="warm-started solver iterations per substep "
+                        "(SimCfg.num_contact_iters_warm)")
     a = p.parse_args()
     log_dir = a.log_dir or os.path.join(
         "runs", "gait-conditioned-agility",
@@ -108,4 +121,5 @@ if __name__ == "__main__":
     train_go1(a.num_envs, a.iterations, log_dir, a.seed,
               num_eval_envs=a.num_eval_envs, eval_expert=a.eval_expert,
               algo=a.algo, use_mesh=a.mesh, multihost=a.multihost,
-              exact=a.exact, terrain=a.terrain, warm_start=a.warm_start)
+              exact=a.exact, terrain=a.terrain, warm_start=a.warm_start,
+              warm_iters=a.warm_iters)

@@ -389,7 +389,14 @@ class SimCfg:
     # cold baseline (runs/validate_warmstart vs runs/validate_pallas);
     # worth ~15% train throughput.
     contact_warm_start: bool = True
-    num_contact_iters_warm: int = 6
+    # 3 warm iterations/substep (12 total per control step with the
+    # cross-step seed) validated in round 3: random-action and standing
+    # stability metrics match cold-16x4 (tests + the round-3 sweep), and
+    # the 1500-iter learning curves land on the warm-6 / cold baselines
+    # (runs/validate_warm3 11.43 / validate_warm4 11.36 vs
+    # validate_xwarm 11.56, validate_pallas cold 10.77 tracking reward).
+    # +6.8% train throughput vs warm-6.
+    num_contact_iters_warm: int = 3
     # additionally carry the converged impulses across control steps in
     # EnvState (zeroed on reset) and warm-start the FIRST substep from
     # them at the warm iteration count — all 4 substeps then run
