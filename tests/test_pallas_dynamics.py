@@ -192,9 +192,15 @@ def _rough_cfg(n, reuse):
         terrain_length=4.0, terrain_width=4.0,
         terrain_proportions=(0.0, 1.0, 0.0, 0.0, 0.0),  # rough slope tiles
         teleport_robots=False, curriculum=False, center_robots=False)
+    # warm start is a megastep-only feature; the XLA comparison side always
+    # runs the full cold iteration count, so pin it off for a like-for-like
+    # Pallas-vs-XLA closeness comparison (the warm count itself is
+    # validated separately: tests/test_warm_start.py + runs/validate_warm3)
     return dataclasses.replace(
         cfg, terrain=terr,
-        sim=dataclasses.replace(cfg.sim, reuse_matrices=reuse))
+        sim=dataclasses.replace(cfg.sim, reuse_matrices=reuse,
+                                contact_warm_start=False,
+                                contact_cross_step_warm_start=False))
 
 
 def test_env_step_heightfield_exact_pallas_matches_xla():
