@@ -75,6 +75,7 @@ class Runner:
         self.log_dir = log_dir
         self.logger = MetricsLogger(log_dir)
         self._write_chart_spec()
+        self._write_provenance(seed)
 
         rng = jax.random.PRNGKey(seed)
         k_ts, self._reset_key = jax.random.split(rng)
@@ -205,6 +206,52 @@ class Runner:
                                "train_state_last.pkl"))
         self.export_policy(os.path.join(self.log_dir, "checkpoints"))
         return self.train_state
+
+    def _write_provenance(self, seed: int):
+        """Stamp the run dir with everything needed to reproduce it: git
+        SHA (+dirty flag), a stable hash of the resolved env config, the
+        resolved SimParams, runner/ppo args, argv and the jax backend.
+        Every results table cites runs; this records which code revision
+        each run actually measured."""
+        import hashlib
+        import json
+        import subprocess
+        import sys
+        from datetime import datetime
+
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        sha, dirty = None, None
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "HEAD"], cwd=repo, capture_output=True,
+                text=True, timeout=10).stdout.strip() or None
+            dirty = bool(subprocess.run(
+                ["git", "status", "--porcelain", "--untracked-files=no"],
+                cwd=repo, capture_output=True, text=True,
+                timeout=10).stdout.strip())
+        except Exception:
+            pass
+        cfg_json = json.dumps(dataclasses.asdict(self.env.cfg),
+                              sort_keys=True, default=str)
+        info = {
+            "time": datetime.now().isoformat(timespec="seconds"),
+            "argv": sys.argv,
+            "git_sha": sha,
+            "git_dirty": dirty,
+            "seed": seed,
+            "algo": self.algo,
+            "num_envs": self.env.num_envs,
+            "backend": jax.default_backend(),
+            "config_hash": hashlib.sha256(
+                cfg_json.encode()).hexdigest()[:12],
+            "sim_params": dataclasses.asdict(self.env.sim_params),
+            "runner_args": dataclasses.asdict(self.args),
+            "ppo_args": dataclasses.asdict(self.ppo_args),
+        }
+        os.makedirs(self.log_dir, exist_ok=True)
+        with open(os.path.join(self.log_dir, "provenance.json"), "w") as f:
+            json.dump(info, f, indent=1, default=str)
 
     def _write_chart_spec(self):
         """Dashboard chart spec in the run dir (the reference writes

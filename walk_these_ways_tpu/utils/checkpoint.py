@@ -37,11 +37,54 @@ def load(path: str):
         return pickle.load(f)
 
 
-def restore_like(template, loaded):
-    """Map loaded numpy arrays back onto the template pytree structure."""
-    flat_t, treedef = jax.tree.flatten(template)
-    flat_l = jax.tree.leaves(loaded)
-    assert len(flat_t) == len(flat_l), (len(flat_t), len(flat_l))
+def _keyed_leaves(tree):
+    """{key-path string: leaf} via tree_flatten_with_path."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {jax.tree_util.keystr(path): leaf for path, leaf in flat}
+
+
+def restore_like(template, loaded, strict: bool = True):
+    """Map loaded numpy arrays back onto the template pytree structure.
+
+    Leaves are matched BY KEY PATH (not position), and every matched leaf
+    must agree with the template in shape — a checkpoint written before a
+    state field was added/removed/reshaped fails loudly (or, with
+    strict=False, keeps the template value for missing keys and ignores
+    extra keys, printing what was migrated) instead of silently
+    misassigning arrays the way a count-only positional zip would.
+    """
     import jax.numpy as jnp
-    return jax.tree.unflatten(
-        treedef, [jnp.asarray(l) for l in flat_l])
+
+    t_map = _keyed_leaves(template)
+    l_map = _keyed_leaves(loaded)
+    missing = sorted(set(t_map) - set(l_map))
+    extra = sorted(set(l_map) - set(t_map))
+    if strict and (missing or extra):
+        raise ValueError(
+            "checkpoint/template structure mismatch:\n"
+            f"  keys only in template (added since save?): {missing[:8]}\n"
+            f"  keys only in checkpoint (removed since save?): {extra[:8]}\n"
+            "pass strict=False to keep template values for missing keys "
+            "and drop extra ones")
+    bad_shape = [
+        (k, np.shape(l_map[k]), np.shape(t_map[k]))
+        for k in t_map if k in l_map
+        and np.shape(l_map[k]) != np.shape(t_map[k])]
+    if bad_shape:
+        raise ValueError(
+            "checkpoint leaf shapes do not match the template "
+            "(different num_envs / model?): "
+            + "; ".join(f"{k}: ckpt{s} vs template{t}"
+                        for k, s, t in bad_shape[:8]))
+    if missing or extra:
+        print(f"restore_like: migrating checkpoint — keeping template "
+              f"values for {missing}, ignoring {extra}", flush=True)
+
+    def pick(path, t_leaf):
+        k = jax.tree_util.keystr(path)
+        if k not in l_map:
+            return t_leaf
+        dtype = getattr(t_leaf, "dtype", None)
+        return jnp.asarray(l_map[k], dtype=dtype)
+
+    return jax.tree_util.tree_map_with_path(pick, template)
