@@ -20,6 +20,8 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
               multihost: bool = False, exact: bool = False,
               terrain: str = "flat", warm_start: bool | None = None,
               warm_iters: int | None = None):
+    from walk_these_ways_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from walk_these_ways_tpu.go1_config import mob_train_cfg, rough_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
