@@ -19,7 +19,7 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
               algo: str = "cse", use_mesh: bool = False,
               multihost: bool = False, exact: bool = False,
               terrain: str = "flat", warm_start: bool | None = None,
-              warm_iters: int | None = None):
+              warm_iters: int | None = None, resume: str | None = None):
     from walk_these_ways_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     from walk_these_ways_tpu.go1_config import mob_train_cfg, rough_train_cfg
@@ -74,13 +74,16 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
     env = LeggedRobotEnv(cfg, eval_cfg=eval_cfg)
     runner = Runner(env, log_dir=log_dir, seed=seed,
                     args=RunnerArgs(max_iterations=iterations,
-                                    eval_expert=eval_expert),
+                                    eval_expert=eval_expert,
+                                    resume=resume is not None,
+                                    resume_path=resume),
                     algo=algo, mesh=mesh)
     runner.learn(num_learning_iterations=iterations,
                  init_at_random_ep_len=True)
 
 
-if __name__ == "__main__":
+def main():
+
     p = argparse.ArgumentParser()
     p.add_argument("--num-envs", type=int, default=4000)
     p.add_argument("--iterations", type=int, default=1500)
@@ -116,6 +119,12 @@ if __name__ == "__main__":
     p.add_argument("--warm-iters", type=int, default=None,
                    help="warm-started solver iterations per substep "
                         "(SimCfg.num_contact_iters_warm)")
+    p.add_argument("--resume", type=str, default=None, metavar="CKPT",
+                   help="checkpoint .pkl to resume from (restores train "
+                        "state incl. env/curriculum/RNG; training continues "
+                        "from the stored iteration count). Analog of the "
+                        "reference runner's resume/load_run "
+                        "(go1_gym_learn/ppo_cse/__init__.py:76-91)")
     a = p.parse_args()
     log_dir = a.log_dir or os.path.join(
         "runs", "gait-conditioned-agility",
@@ -124,4 +133,8 @@ if __name__ == "__main__":
               num_eval_envs=a.num_eval_envs, eval_expert=a.eval_expert,
               algo=a.algo, use_mesh=a.mesh, multihost=a.multihost,
               exact=a.exact, terrain=a.terrain, warm_start=a.warm_start,
-              warm_iters=a.warm_iters)
+              warm_iters=a.warm_iters, resume=a.resume)
+
+
+if __name__ == "__main__":
+    main()
