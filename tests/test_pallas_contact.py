@@ -2,7 +2,7 @@
 
 The env-minor kernels in ops/pallas_contact.py must reproduce the XLA
 reference path in physics/engine.py exactly (same math, same iteration
-count): cache build (J, Lam) and the full substep (gaps, targets, PGS
+count): cache build (J, W) and the full substep (gaps, targets, PGS
 iterations, impulse apply, point advance).
 """
 import dataclasses
@@ -41,14 +41,14 @@ def test_cache_kernel_matches_xla():
     pal_params = dataclasses.replace(xla_params, use_pallas_contact=True)
     c_x = eng.build_dynamics_cache(model, xla_params, state, dyn)
     c_p = eng.build_dynamics_cache(model, pal_params, state, dyn)
-    J_t, Lam_t = c_p.pallas_ops.J_t, c_p.pallas_ops.Lam_t
+    J_t, W_t = c_p.pallas_ops.J_t, c_p.pallas_ops.W_t
     P = model.cp_body.shape[0]
     J_back = pc.from_env_minor(
         jnp.transpose(J_t, (0, 1, 2, 3)), n)        # (n, P, 3, nv)
     np.testing.assert_allclose(np.asarray(J_back), np.asarray(c_x.J),
                                rtol=1e-5, atol=1e-5)
-    Lam_back = pc.from_env_minor(Lam_t, n).reshape(n, P, 3, 3)
-    np.testing.assert_allclose(np.asarray(Lam_back), np.asarray(c_x.Lam),
+    W_back = pc.from_env_minor(W_t, n).reshape(n, P, 3, 3)
+    np.testing.assert_allclose(np.asarray(W_back), np.asarray(c_x.W),
                                rtol=2e-4, atol=2e-4)
 
 

@@ -231,3 +231,53 @@ def test_foot_state_from_cache_matches_fk_at_anchor():
     p_fk, v_fk = eng.foot_positions_velocities(model, state)
     np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_fk), atol=1e-5)
     np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_fk), atol=1e-4)
+
+
+def test_free_tumble_energy_bounded():
+    """Regression for the round-4 seed-2 blowup (runs/seed2_blowup): a
+    freely tumbling robot at |w| = 20 rad/s, zero torque, zero gravity.
+    The explicit-Euler velocity-product update diverged to NaN here; the
+    midpoint (RK2) evaluation must keep kinetic energy within a few
+    percent over 1 s."""
+    import dataclasses
+
+    model = go1()
+    ddp = default_dof_pos(model, dict(GO1_DEFAULT_JOINT_ANGLES))
+    model = dataclasses.replace(
+        model, dof_vel_limit=np.full(12, 1e9),      # no clamp assistance
+        dof_lower=np.full(12, -1e9), dof_upper=np.full(12, 1e9),
+        )                                           # no limit springs either
+    params = dataclasses.replace(
+        eng.SimParams(dt=0.005, use_pallas_contact=False),
+        max_base_lin_vel=1e9, max_base_ang_vel=1e9)
+    dyn = eng.DynamicsParams(
+        payload=jnp.zeros(1), com_displacement=jnp.zeros((1, 3)),
+        friction=jnp.ones(1), restitution=jnp.zeros(1),
+        gravity=jnp.zeros((1, 3)))
+    terr = eng.flat_terrain()
+    ax = np.array([0.4, 0.7, 0.59])
+    ax /= np.linalg.norm(ax)
+    state = eng.PhysicsState(
+        base_pos=jnp.array([[0.0, 0.0, 50.0]]),
+        base_quat=jnp.array([[0.0, 0.0, 0.0, 1.0]]),
+        base_lin_vel=jnp.zeros((1, 3)),
+        base_ang_vel=jnp.asarray((20.0 * ax)[None], dtype=jnp.float32),
+        q=jnp.asarray(ddp)[None], qd=jnp.zeros((1, 12)))
+
+    def energy(st):
+        frames = eng.forward_kinematics(model, st)
+        Sw, Sv = eng.joint_twists(model, frames, st.base_pos)
+        gv = jnp.concatenate(
+            [st.base_ang_vel, st.base_lin_vel, st.qd], axis=-1)[0]
+        blk = eng.inertia_blocks(model, frames, st.base_pos, dyn)
+        M = eng.mass_matrix(model, Sw, Sv, blk)[0]
+        return float(0.5 * gv @ M @ gv)
+
+    step = jax.jit(lambda s: eng.physics_substep(
+        model, params, s, jnp.zeros((1, 12), jnp.float32), dyn, terr)[0])
+    e0 = energy(state)
+    for _ in range(200):          # 1 s
+        state = step(state)
+    e1 = energy(state)
+    assert np.isfinite(e1)
+    assert e1 / e0 < 1.06, f"tumble energy grew {e1 / e0:.3f}x over 1 s"

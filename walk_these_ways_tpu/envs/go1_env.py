@@ -685,7 +685,7 @@ class LeggedRobotEnv:
 
         if self.sim_params.use_pallas_contact and cfg.sim.megastep:
             # whole-control-step Pallas kernel: torque model + physics
-            # substep(s) + integration in one launch, J/Lam built in-kernel
+            # substep(s) + integration in one launch, J/W built in-kernel
             # (ops/pallas_megastep.py).  Reuse mode runs all decimation
             # substeps in ONE call (cache anchored at the entry state);
             # exact mode calls it per substep with a fresh cache — the same
@@ -754,7 +754,7 @@ class LeggedRobotEnv:
                     m, self.sim_params, state.phys, dyn, self.terrain)
                 p_cp0_t = cache0.pallas_ops.p_cp_t
             else:
-                # exact mode: a fresh env-minor cache (FK/CRBA/M^-1/J/Lam)
+                # exact mode: a fresh env-minor cache (FK/CRBA/M^-1/J/W)
                 # per substep — same per-substep recomputation semantics as
                 # engine.physics_substep, on the Pallas pipeline
                 cache0 = None
@@ -904,6 +904,20 @@ class LeggedRobotEnv:
         if cfg.rewards.use_terminal_body_height:
             body_height = state.phys.base_pos[:, 2] - self._measured_ground(state)
             reset = reset | (body_height < cfg.rewards.terminal_body_height)
+        # envelope guard (no reference analogue — PhysX enforces its own
+        # stability internally): an env whose base velocity saturates the
+        # integrator caps (SimParams.max_base_lin/ang_vel) is in an
+        # unrecoverable crash state; the per-component clamp that holds it
+        # finite is not momentum-consistent, so terminate instead of
+        # letting it pollute the batch (round-4 seed-2 launch study,
+        # runs/seed2_blowup)
+        sp = self.sim_params
+        env_exit = (
+            jnp.max(jnp.abs(state.phys.base_lin_vel), axis=-1)
+            >= 0.99 * sp.max_base_lin_vel) | (
+            jnp.max(jnp.abs(state.phys.base_ang_vel), axis=-1)
+            >= 0.99 * sp.max_base_ang_vel)
+        reset = reset | env_exit
 
         # 11. rewards (legged_robot.py:263-300)
         ctx = rew_mod.RewardCtx(

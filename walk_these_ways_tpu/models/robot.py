@@ -367,6 +367,44 @@ def go1() -> RobotModel:
     )
 
 
+def box(half_extents=(0.1, 0.1, 0.1), mass: float = 1.0,
+        corner_radius: float = 0.0) -> RobotModel:
+    """A single free rigid box with corner contact points — the minimal
+    RobotModel.  Used by the physics validation suite for textbook contact
+    experiments (slide deceleration = mu*g, restitution bounce ratio = e,
+    incline stick/slip onset at arctan mu) where an articulated robot's
+    compliance would confound the measurement; also demonstrates the engine
+    is model-generic, not Go1-specific."""
+    hx, hy, hz = half_extents
+    I = mass / 3.0 * np.diag([hy * hy + hz * hz,
+                              hx * hx + hz * hz,
+                              hx * hx + hy * hy])
+    corners = np.array([[sx * hx, sy * hy, sz * hz]
+                        for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)])
+    P = corners.shape[0]
+    nv, anc, subtree, conn, kbody = _build_topology(
+        1, np.array([-1], dtype=np.int32), 0, np.zeros((0,), dtype=np.int32))
+    e = np.zeros((0,))
+    return RobotModel(
+        name=f"box{half_extents}m{mass}",
+        nb=1, parent=np.array([-1], dtype=np.int32), body_names=("box",),
+        mass=np.array([mass], dtype=np.float64),
+        com=np.zeros((1, 3)), inertia=I[None],
+        nj=0, joint_names=(), joint_body=np.zeros((0,), dtype=np.int32),
+        joint_anchor=np.zeros((0, 3)), joint_axis=np.zeros((0, 3)),
+        dof_lower=e, dof_upper=e, dof_effort=e, dof_vel_limit=e,
+        num_report_bodies=1, report_body_names=("box",),
+        feet_report_indices=np.zeros((0,), dtype=np.int32),
+        foot_body=np.zeros((0,), dtype=np.int32),
+        foot_offset=np.zeros((0, 3)), foot_radius=corner_radius,
+        cp_body=np.zeros((P,), dtype=np.int32), cp_offset=corners,
+        cp_radius=np.full((P,), corner_radius),
+        cp_report_body=np.zeros((P,), dtype=np.int32),
+        cp_is_foot=np.zeros((P,), dtype=bool),
+        nv=nv, anc_dof_body=anc, subtree=subtree, crba_conn=conn,
+        crba_body=kbody)
+
+
 def default_dof_pos(model: RobotModel, default_joint_angles: dict) -> jnp.ndarray:
     """Resolve {joint-name: angle} to the model's dof order.
 

@@ -14,16 +14,18 @@ pipeline in VMEM:
 
 - `contact_cache_kernel` (once per control step): builds the point
   Jacobians J[p,i,v] = anc[p,v] * (Sv[v,i] + Sw[v] x r[p]) and the 3x3
-  effective-mass inverses Lam_p = (J_p M^-1 J_p^T + eps)^-1 from the
+  effective-mass matrices W_p = J_p M^-1 J_p^T + eps I from the
   twist bases and M^-1 of the dynamics cache
   (physics/engine.py:build_dynamics_cache).
 - `contact_substep_kernel` (once per physics substep): computes contact
   gaps from the carried contact-point estimate (flat ground: phi =
   radius - z + h0), velocity targets (restitution bounce + capped
-  Baumgarte bias, engine.py:_contact_solve), runs `num_iters` projected-
-  Jacobi iterations with the friction-cone projection specialized to the
-  n = +z normal, applies impulses lazily as M^-1 (J^T dlam) (no MinvJT
-  buffer), and advances the contact points p' = p + dt * J gv_new.
+  Baumgarte bias, engine.py:_contact_solve), runs `num_iters` row-
+  decoupled projected-Jacobi iterations (normal row to target, friction
+  row opposite the slip direction, cone clamp at mu * lambda_n)
+  specialized to the n = +z normal, applies impulses lazily as
+  M^-1 (J^T dlam) (no MinvJT buffer), and advances the contact points
+  p' = p + dt * J gv_new.
 
 The flat-ground specialization matches the MoB train config (terrain
 mesh_type='boxes' tiles are all flat => engine.flat_terrain() fast path);
@@ -73,15 +75,15 @@ def _spec(shape, block):
     return pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
 
 
-# -- cache kernel: J and Lam ------------------------------------------------
+# -- cache kernel: J and W --------------------------------------------------
 
 
 def cache_core(anc, Sw, Sv, Minv, r, *, eps: float):
-    """In-kernel J/Lam build on env-minor VMEM values: point Jacobians
+    """In-kernel J/W build on env-minor VMEM values: point Jacobians
     J[p, i, v] = anc[p, v] * (Sv[v, i] + Sw[v] x r[p]) and 3x3
-    effective-mass inverses Lam_p = (J_p M^-1 J_p^T + eps)^-1.  Shared by
+    effective-mass matrices W_p = J_p M^-1 J_p^T + eps I.  Shared by
     the standalone cache kernel below and the whole-control-step kernel
-    (ops/pallas_megastep.py).  Returns (J (P, 3, nv, B), Lam9 (P, 9, B))."""
+    (ops/pallas_megastep.py).  Returns (J (P, 3, nv, B), W9 (P, 9, B))."""
     P = r.shape[0]
     nv = Sw.shape[0]
     B = Sw.shape[-1]
@@ -113,31 +115,22 @@ def cache_core(anc, Sw, Sv, Minv, r, *, eps: float):
             t_i += J[:, i, w, :][:, None, :] * Minv[w][None, :, :]
         for jc in range(3):
             W[i][jc] = jnp.sum(J[:, jc] * t_i, axis=1)       # (P, B)
-    a, b, c = W[0][0] + eps, W[0][1], W[0][2]
-    d, e, f = W[1][0], W[1][1] + eps, W[1][2]
-    g, h, i9 = W[2][0], W[2][1], W[2][2] + eps
-    A = e * i9 - f * h
-    Bc = -(d * i9 - f * g)
-    C = d * h - e * g
-    D = -(b * i9 - c * h)
-    E = a * i9 - c * g
-    F = -(a * h - b * g)
-    G = b * f - c * e
-    H = -(a * f - c * d)
-    I9 = a * e - b * d
-    det = a * A + b * Bc + c * C
-    inv_det = 1.0 / det
-    Lam9 = jnp.stack(
-        [A, D, G, Bc, E, H, C, F, I9], axis=1) * inv_det[:, None, :]
-    return J, Lam9
+    # The row-decoupled solver (contact_core) consumes W itself, not its
+    # inverse: per-row scalar effective masses n^T W n / t^T W t.  eps on
+    # the diagonal keeps them bounded away from zero.
+    W9 = jnp.stack(
+        [W[0][0] + eps, W[0][1], W[0][2],
+         W[1][0], W[1][1] + eps, W[1][2],
+         W[2][0], W[2][1], W[2][2] + eps], axis=1)            # (P, 9, B)
+    return J, W9
 
 
 def _cache_kernel(anc_ref, sw_ref, sv_ref, minv_ref, r_ref,
-                  j_ref, lam_ref, *, P: int, nv: int, eps: float):
-    J, Lam9 = cache_core(anc_ref[:], sw_ref[:], sv_ref[:], minv_ref[:],
-                         r_ref[:], eps=eps)
+                  j_ref, w_ref, *, P: int, nv: int, eps: float):
+    J, W9 = cache_core(anc_ref[:], sw_ref[:], sv_ref[:], minv_ref[:],
+                       r_ref[:], eps=eps)
     j_ref[:] = J
-    lam_ref[:] = Lam9
+    w_ref[:] = W9
 
 
 def build_contact_cache_pallas(anc, Sw_t, Sv_t, Minv_t, r_t,
@@ -145,7 +138,7 @@ def build_contact_cache_pallas(anc, Sw_t, Sv_t, Minv_t, r_t,
                                interpret: bool = False):
     """anc (P, nv) static mask; Sw_t/Sv_t (nv, 3, Npad); Minv_t
     (nv, nv, Npad); r_t (P, 3, Npad). Returns J_t (P, 3, nv, Npad),
-    Lam_t (P, 9, Npad)."""
+    W_t (P, 9, Npad)."""
     nv = Sw_t.shape[0]
     P = r_t.shape[0]
     Npad = Sw_t.shape[-1]
@@ -205,20 +198,29 @@ def point_dof_groups(anc_p):
     return merged
 
 
-def contact_core(J, Lam, Minv, p_cp, gv0, rh, mu, e, vlim, *,
+def contact_core(J, W, Minv, p_cp, gv0, rh, mu, e, vlim, *,
                  num_iters: int, relaxation: float, dt: float,
                  baumgarte: float, slop: float, max_depen: float,
                  bounce_thresh: float, groups=None, n=None, lam0=None):
     """Shared in-kernel contact pipeline (gaps -> targets -> projected
     Jacobi -> point advance) on env-minor VMEM values.  Called from the
     contact-only substep kernel below and from the full dynamics substep
-    kernel (ops/pallas_dynamics.py).  `groups` is the static
-    point_dof_groups structure; when given, the J contractions in the
-    solver loop skip the statically-zero (point, dof) blocks.  `n` is the
-    per-point surface normal (P, 3, B) for heightfield terrain; None means
-    flat ground (n = +z), which drops the normal-decomposition arithmetic
-    entirely (mirrors engine._impulse_iteration general-normal math vs the
-    flat specialization).  `lam0` warm-starts the iteration: the solver
+    kernel (ops/pallas_dynamics.py).  `W` is the (P, 9, B) per-point
+    effective-mass matrix J M^-1 J^T (+eps I), consumed row-decoupled:
+    the normal row solves (target - vn) / (n^T W n) and the friction row
+    pushes opposite the slip direction t with scalar mass t^T W t,
+    clamped to the mu * lambda_n cone.  Decoupling the rows is what PGS
+    solvers (PhysX/Bullet/MuJoCo) do; a coupled 3x3 block solve against
+    the unreachable target "slip -> 0" biases the projected fixed point
+    ~12% inside the friction cone and leaves mm-scale penetration
+    (measured in runs/mujoco_parity — the incline mu_eff study).
+    `groups` is the static point_dof_groups structure; when given, the J
+    contractions in the solver loop skip the statically-zero (point, dof)
+    blocks.  `n` is the per-point surface normal (P, 3, B) for
+    heightfield terrain; None means flat ground (n = +z), which drops the
+    normal-decomposition arithmetic entirely (mirrors
+    engine._impulse_iteration general-normal math vs the flat
+    specialization).  `lam0` warm-starts the iteration: the solver
     iterates over the TOTAL impulse lam with gv(lam) = gv0 + M^-1 J^T lam,
     so a nonzero initial lam both seeds the iterate and pre-applies its
     impulse to the velocity (PhysX-style warm start — the targets/bounce
@@ -281,50 +283,69 @@ def contact_core(J, Lam, Minv, p_cp, gv0, rh, mu, e, vlim, *,
                        max_depen)
     target = jnp.maximum(bounce, bias)                     # (P, B)
 
+    # loop-invariant scalar effective mass of the normal row
+    # (W has +eps on the diagonal, so w_nn >= eps > 0)
+    if n is None:
+        w_nn = W[:, 8]                                     # n = +z: W22
+    else:
+        w_nn = (n[:, 0] * (W[:, 0] * n[:, 0] + W[:, 1] * n[:, 1]
+                           + W[:, 2] * n[:, 2])
+                + n[:, 1] * (W[:, 3] * n[:, 0] + W[:, 4] * n[:, 1]
+                             + W[:, 5] * n[:, 2])
+                + n[:, 2] * (W[:, 6] * n[:, 0] + W[:, 7] * n[:, 1]
+                             + W[:, 8] * n[:, 2]))
+    inv_w_nn = relaxation / w_nn
+
     def body(_, carry):
         lam, gv = carry                                    # (P,3,B), (nv,B)
         v = jdot(gv)
         if n is None:
-            # dv desired: (target - v_z) on z, -v on xy
-            dvx = -v[:, 0, :]
-            dvy = -v[:, 1, :]
-            dvz = target - v[:, 2, :]
-        else:
-            # dv desired: target * n - v (engine._impulse_iteration:505)
-            dvx = target * n[:, 0] - v[:, 0, :]
-            dvy = target * n[:, 1] - v[:, 1, :]
-            dvz = target * n[:, 2] - v[:, 2, :]
-        dlx = relaxation * (Lam[:, 0] * dvx + Lam[:, 1] * dvy
-                            + Lam[:, 2] * dvz)
-        dly = relaxation * (Lam[:, 3] * dvx + Lam[:, 4] * dvy
-                            + Lam[:, 5] * dvz)
-        dlz = relaxation * (Lam[:, 6] * dvx + Lam[:, 7] * dvy
-                            + Lam[:, 8] * dvz)
-        lx = lam[:, 0, :] + dlx
-        ly = lam[:, 1, :] + dly
-        lz = lam[:, 2, :] + dlz
-        if n is None:
-            # project: normal (z) >= 0, tangential inside friction cone
-            ln = jnp.maximum(lz, 0.0)
-            lt = jnp.sqrt(lx * lx + ly * ly + 1e-18)
+            vn = v[:, 2, :]
+            vtx, vty = v[:, 0, :], v[:, 1, :]
+            vtn = jnp.sqrt(vtx * vtx + vty * vty + 1e-18)
+            itn = 1.0 / vtn
+            tx, ty = vtx * itn, vty * itn
+            # slip-direction scalar effective mass t^T W t (tz = 0)
+            # vt = 0 exactly makes t the zero vector: floor w_tt at eps
+            w_tt = jnp.maximum(tx * tx * W[:, 0] + 2.0 * tx * ty * W[:, 1]
+                               + ty * ty * W[:, 4], 1e-6)
+            dln = (target - vn) * inv_w_nn
+            dlt = -relaxation * vtn / w_tt
+            ln = jnp.maximum(lam[:, 2, :] + dln, 0.0)
+            lx = lam[:, 0, :] + dlt * tx
+            ly = lam[:, 1, :] + dlt * ty
+            ltn = jnp.sqrt(lx * lx + ly * ly + 1e-18)
             max_t = mu * ln
-            scale = jnp.where(lt > max_t, max_t / lt, 1.0)
+            scale = jnp.where(ltn > max_t, max_t / ltn, 1.0)
             lx = lx * scale * active
             ly = ly * scale * active
             lz = ln * active
         else:
-            # general-normal projection (engine._impulse_iteration:509-516)
-            ln = lx * n[:, 0] + ly * n[:, 1] + lz * n[:, 2]
-            tx = lx - ln * n[:, 0]
-            ty = ly - ln * n[:, 1]
-            tz = lz - ln * n[:, 2]
-            ln = jnp.maximum(ln, 0.0)
-            lt = jnp.sqrt(tx * tx + ty * ty + tz * tz + 1e-18)
+            vn = n[:, 0] * v[:, 0] + n[:, 1] * v[:, 1] + n[:, 2] * v[:, 2]
+            vtx = v[:, 0, :] - vn * n[:, 0]
+            vty = v[:, 1, :] - vn * n[:, 1]
+            vtz = v[:, 2, :] - vn * n[:, 2]
+            vtn = jnp.sqrt(vtx * vtx + vty * vty + vtz * vtz + 1e-18)
+            itn = 1.0 / vtn
+            tx, ty, tz = vtx * itn, vty * itn, vtz * itn
+            w_tt = jnp.maximum(
+                tx * (W[:, 0] * tx + W[:, 1] * ty + W[:, 2] * tz)
+                + ty * (W[:, 3] * tx + W[:, 4] * ty + W[:, 5] * tz)
+                + tz * (W[:, 6] * tx + W[:, 7] * ty + W[:, 8] * tz), 1e-6)
+            dln = (target - vn) * inv_w_nn
+            dlt = -relaxation * vtn / w_tt
+            l_n0 = (lam[:, 0, :] * n[:, 0] + lam[:, 1, :] * n[:, 1]
+                    + lam[:, 2, :] * n[:, 2])
+            ln = jnp.maximum(l_n0 + dln, 0.0)
+            lx = lam[:, 0, :] - l_n0 * n[:, 0] + dlt * tx
+            ly = lam[:, 1, :] - l_n0 * n[:, 1] + dlt * ty
+            lz = lam[:, 2, :] - l_n0 * n[:, 2] + dlt * tz
+            ltn = jnp.sqrt(lx * lx + ly * ly + lz * lz + 1e-18)
             max_t = mu * ln
-            scale = jnp.where(lt > max_t, max_t / lt, 1.0)
-            lx = (ln * n[:, 0] + tx * scale) * active
-            ly = (ln * n[:, 1] + ty * scale) * active
-            lz = (ln * n[:, 2] + tz * scale) * active
+            scale = jnp.where(ltn > max_t, max_t / ltn, 1.0)
+            lx = (ln * n[:, 0] + lx * scale) * active
+            ly = (ln * n[:, 1] + ly * scale) * active
+            lz = (ln * n[:, 2] + lz * scale) * active
         new_lam = jnp.stack([lx, ly, lz], axis=1)          # (P, 3, B)
         applied = new_lam - lam
         # lazy impulse apply: gv += M^-1 (J^T applied)
@@ -345,14 +366,14 @@ def contact_core(J, Lam, Minv, p_cp, gv0, rh, mu, e, vlim, *,
     return gv, p_cp + dt * jdot(gv_cl), lam
 
 
-def _substep_kernel(j_ref, lam33_ref, minv_ref, pcp_ref, gv_ref, rh_ref,
+def _substep_kernel(j_ref, w_ref, minv_ref, pcp_ref, gv_ref, rh_ref,
                     mu_ref, e_ref, vlim_ref,
                     gv_out_ref, pcp_out_ref, lam_out_ref, *,
                     P: int, nv: int, num_iters: int, relaxation: float,
                     dt: float, baumgarte: float, slop: float,
                     max_depen: float, bounce_thresh: float):
     gv, pcp, lam = contact_core(
-        j_ref[:], lam33_ref[:], minv_ref[:], pcp_ref[:], gv_ref[:],
+        j_ref[:], w_ref[:], minv_ref[:], pcp_ref[:], gv_ref[:],
         rh_ref[:], mu_ref[:], e_ref[:], vlim_ref[:],
         num_iters=num_iters, relaxation=relaxation, dt=dt,
         baumgarte=baumgarte, slop=slop, max_depen=max_depen,
@@ -362,7 +383,7 @@ def _substep_kernel(j_ref, lam33_ref, minv_ref, pcp_ref, gv_ref, rh_ref,
     lam_out_ref[:] = lam
 
 
-def contact_substep_pallas(J_t, Lam_t, Minv_t, pcp_t, gv_t, rh_t, mu_t, e_t,
+def contact_substep_pallas(J_t, W_t, Minv_t, pcp_t, gv_t, rh_t, mu_t, e_t,
                            vlim, *, num_iters: int, relaxation: float,
                            dt: float, baumgarte: float, slop: float,
                            max_depen: float, bounce_thresh: float,
@@ -385,7 +406,7 @@ def contact_substep_pallas(J_t, Lam_t, Minv_t, pcp_t, gv_t, rh_t, mu_t, e_t,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[_spec(J_t.shape, block), _spec(Lam_t.shape, block),
+        in_specs=[_spec(J_t.shape, block), _spec(W_t.shape, block),
                   _spec(Minv_t.shape, block), _spec(pcp_t.shape, block),
                   _spec(gv_t.shape, block), _spec(rh_t.shape, block),
                   _spec(mu_t.shape, block), _spec(e_t.shape, block),
@@ -396,4 +417,4 @@ def contact_substep_pallas(J_t, Lam_t, Minv_t, pcp_t, gv_t, rh_t, mu_t, e_t,
                    jax.ShapeDtypeStruct((P, 3, Npad), gv_t.dtype),
                    jax.ShapeDtypeStruct((P, 3, Npad), gv_t.dtype)),
         interpret=interpret,
-    )(J_t, Lam_t, Minv_t, pcp_t, gv_t, rh_t, mu_t, e_t, vlim)
+    )(J_t, W_t, Minv_t, pcp_t, gv_t, rh_t, mu_t, e_t, vlim)

@@ -138,7 +138,7 @@ def dyn_core(Sw, Sv, Ab, Bb, mb, Minv, g, tau, gv, *,
 
 def _dyn_substep_kernel(sw_ref, sv_ref, a_ref, b_ref, m_ref, minv_ref,
                         g_ref, tau_ref, gv_ref,
-                        j_ref, lam33_ref, pcp_ref, rh_ref, mu_ref, e_ref,
+                        j_ref, w_ref, pcp_ref, rh_ref, mu_ref, e_ref,
                         vlim_ref, *rest,
                         anc: np.ndarray, joint_body: np.ndarray,
                         groups: tuple, nb: int, nj: int, nv: int,
@@ -152,14 +152,20 @@ def _dyn_substep_kernel(sw_ref, sv_ref, a_ref, b_ref, m_ref, minv_ref,
         n_ref, gv_out_ref, pcp_out_ref, lam_out_ref = rest
     Minv = minv_ref[:]      # (nv, nv, B)
     gv = gv_ref[:]          # (nv, B)
+    # midpoint (RK2) on the velocity-product terms — see
+    # ops/pallas_megastep.py for the stability rationale
+    qdd1 = dyn_core(sw_ref[:], sv_ref[:], a_ref[:], b_ref[:], m_ref[:],
+                    Minv, g_ref[:], tau_ref[:], gv,
+                    anc=anc, joint_body=joint_body, nb=nb, nj=nj, nv=nv)
+    gv_mid = gv + (0.5 * dt) * qdd1
     qdd = dyn_core(sw_ref[:], sv_ref[:], a_ref[:], b_ref[:], m_ref[:],
-                   Minv, g_ref[:], tau_ref[:], gv,
+                   Minv, g_ref[:], tau_ref[:], gv_mid,
                    anc=anc, joint_body=joint_body, nb=nb, nj=nj, nv=nv)
     gv_free = gv + dt * qdd
 
     if contact:
         gv_new, pcp_new, lam = contact_core(
-            j_ref[:], lam33_ref[:], Minv, pcp_ref[:], gv_free,
+            j_ref[:], w_ref[:], Minv, pcp_ref[:], gv_free,
             rh_ref[:], mu_ref[:], e_ref[:], vlim_ref[:],
             num_iters=num_iters, relaxation=relaxation, dt=dt,
             baumgarte=baumgarte, slop=slop, max_depen=max_depen,
@@ -175,7 +181,7 @@ def _dyn_substep_kernel(sw_ref, sv_ref, a_ref, b_ref, m_ref, minv_ref,
 
 
 def dynamics_substep_pallas(Sw_t, Sv_t, A_t, B_t, m_t, Minv_t, g_t, tau_t,
-                            gv_t, J_t, Lam_t, pcp_t, rh_t, mu_t, e_t, vlim,
+                            gv_t, J_t, W_t, pcp_t, rh_t, mu_t, e_t, vlim,
                             n_t=None,
                             *, anc: np.ndarray, joint_body: np.ndarray,
                             cp_body: np.ndarray,
@@ -215,7 +221,7 @@ def dynamics_substep_pallas(Sw_t, Sv_t, A_t, B_t, m_t, Minv_t, g_t, tau_t,
                   _spec(m_t.shape, block), _spec(Minv_t.shape, block),
                   _spec(g_t.shape, block), _spec(tau_t.shape, block),
                   _spec(gv_t.shape, block),
-                  _spec(J_t.shape, block), _spec(Lam_t.shape, block),
+                  _spec(J_t.shape, block), _spec(W_t.shape, block),
                   _spec(pcp_t.shape, block), _spec(rh_t.shape, block),
                   _spec(mu_t.shape, block), _spec(e_t.shape, block),
                   vlim_spec]
@@ -227,5 +233,5 @@ def dynamics_substep_pallas(Sw_t, Sv_t, A_t, B_t, m_t, Minv_t, g_t, tau_t,
                    jax.ShapeDtypeStruct((P, 3, Npad), gv_t.dtype)),
         interpret=interpret,
     )(*((Sw_t, Sv_t, A_t, B_t, m_t, Minv_t, g_t, tau_t, gv_t,
-         J_t, Lam_t, pcp_t, rh_t, mu_t, e_t, vlim)
+         J_t, W_t, pcp_t, rh_t, mu_t, e_t, vlim)
         + (() if flat else (n_t,))))

@@ -4,14 +4,14 @@ Round-2 final profile of the 9x pipeline (scripts/profile_train.py):
 the per-substep dynamics kernel (ops/pallas_dynamics.py) was the top op
 at 35% of the train iteration, and within it the dominant costs were
 fixed per-launch: every one of the `decimation` substep calls re-read
-the full dynamics cache (J/Lam/M^-1/twist bases, ~2.8 MB per 256-env
+the full dynamics cache (J/W/M^-1/twist bases, ~2.8 MB per 256-env
 block) from HBM, and the glue between launches (torque model, base-pose
 integration, env-minor<->N-major transposes of the state) ran as dozens
 of small N-major XLA ops per substep.
 
 This kernel runs the ENTIRE control step in one launch:
 
-- the contact-cache build (J + Lam, ops/pallas_contact.cache_core) runs
+- the contact-cache build (J + W, ops/pallas_contact.cache_core) runs
   once at kernel start — J never round-trips through HBM at all;
 - all `decimation` substeps run back-to-back in VMEM, each one:
   torque model (PD or the Go1 actuator network as block-diagonal MXU
@@ -177,7 +177,7 @@ def _megastep_kernel(*refs,
     # contact cache once per control step, entirely in VMEM; r = contact
     # points about the anchor (= entry base position, envminor.r_t)
     r = pcp - jnp.expand_dims(pos, 0)
-    J, Lam = pc.cache_core(anc_pn, Sw, Sv, Minv, r, eps=eps)
+    J, W = pc.cache_core(anc_pn, Sw, Sv, Minv, r, eps=eps)
 
     ref_pt = pos              # cache anchor = entry base position
     pcp_prev = pcp
@@ -220,7 +220,16 @@ def _megastep_kernel(*refs,
         delta = ref_pt - pos                                 # (3, B)
         v_ref = lin + _cross3(ang, delta)
         gv = jnp.concatenate([ang, v_ref, qd], axis=0)       # (nv, B)
-        qdd = pd.dyn_core(Sw, Sv, Ab, Bb, mb, Minv, g, tau_full, gv,
+        # midpoint (RK2) on the velocity-product terms: explicit Euler is
+        # unconditionally unstable for the gyroscopic part (imaginary
+        # eigenvalues) — zero-torque tumbling gains ~6%/s energy at
+        # |w| = 5 rad/s and blows up past ~15; the midpoint evaluation is
+        # near-conservative through 40 rad/s (runs/seed2_blowup study)
+        qdd1 = pd.dyn_core(Sw, Sv, Ab, Bb, mb, Minv, g, tau_full, gv,
+                           anc=anc, joint_body=joint_body,
+                           nb=nb, nj=nj, nv=nv)
+        gv_mid = gv + (0.5 * dt) * qdd1
+        qdd = pd.dyn_core(Sw, Sv, Ab, Bb, mb, Minv, g, tau_full, gv_mid,
                           anc=anc, joint_body=joint_body,
                           nb=nb, nj=nj, nv=nv)
         gv_free = gv + dt * qdd
@@ -233,7 +242,7 @@ def _megastep_kernel(*refs,
             # (warm0) the first substep warm-starts too
             warm = warm_iters > 0 and (s > 0 or warm0)
             gv_new, pcp_new, lam = pc.contact_core(
-                J, Lam, Minv, pcp, gv_free, rh, mu, e, vlim,
+                J, W, Minv, pcp, gv_free, rh, mu, e, vlim,
                 num_iters=warm_iters if warm else num_iters,
                 relaxation=relaxation, dt=dt,
                 baumgarte=baumgarte, slop=slop, max_depen=max_depen,

@@ -18,12 +18,15 @@ legged_robot_config.py:402-421).  Design notes:
   world-frame spatial vectors referenced at each env's base position (keeps
   lever arms ~O(1) m for f32 conditioning regardless of world position).
 - Contacts: sphere/point vs. heightfield, solved as velocity-level unilateral
-  constraints with exact per-contact 3x3 effective-mass blocks
-  (Lambda = (J M^-1 J^T)^-1) and a few Jacobi/PGS iterations in dual space —
-  the TPU analogue of PhysX TGS iterations (solver_type=1,
-  num_position_iterations=4 in the reference config).  This gives real
-  stiction and restitution with *no* penalty-stiffness stability limits at
-  dt=5 ms.
+  constraints by row-decoupled projected Jacobi in dual space: per contact,
+  a normal row with scalar effective mass n^T W n (W = J M^-1 J^T) driven
+  to the restitution/Baumgarte target, and a friction row opposite the slip
+  direction with mass t^T W t, clamped to the mu * lambda_n cone — the same
+  row structure PhysX/Bullet/MuJoCo PGS use, and the TPU analogue of PhysX
+  TGS iterations (solver_type=1, num_position_iterations=4 in the reference
+  config).  Kinetic friction saturates the cone exactly (validated against
+  MuJoCo in runs/mujoco_parity).  This gives real stiction and restitution
+  with *no* penalty-stiffness stability limits at dt=5 ms.
 - Joint limits: stiff one-sided springs (hard limits are rarely active for
   this task); joint velocity clamped to the URDF limit like PhysX does.
 """
@@ -64,11 +67,18 @@ class SimParams:
     max_depenetration_velocity: float = 1.0
     bounce_threshold_velocity: float = 0.5   # reference physx config
     # hard caps on base velocities (PhysX max_linear/angular_velocity
-    # analogue, far above the operating envelope): breaks the exponential
-    # growth of any rare diverging contact configuration so the env
-    # terminates and resets instead of going non-finite
-    max_base_lin_vel: float = 50.0
-    max_base_ang_vel: float = 50.0
+    # analogue).  Set INSIDE the integrator's stable envelope: the
+    # midpoint velocity-product evaluation is near-conservative for
+    # tumbling through ~40 rad/s (runs/seed2_blowup), and the task's
+    # physical envelope is |v| < ~7 m/s / |w| < ~10 rad/s, so 15/25
+    # leaves margin on both sides.  A per-component clamp is NOT
+    # momentum-consistent — an env that saturates it is in an
+    # unrecoverable crash and is terminated by the envelope guard in
+    # envs/go1_env.py (round-4 seed-2 study: 50/50 caps let a
+    # post-landing thrash spiral through the old Euler instability and
+    # LAUNCH the robot by clamp-rectified momentum injection)
+    max_base_lin_vel: float = 15.0
+    max_base_ang_vel: float = 25.0
     joint_limit_stiffness: float = 60.0
     joint_limit_damping: float = 2.0
     # Jacobi (simultaneous) impulse updates diverge at relaxation 1.0 when
@@ -206,6 +216,11 @@ def forward_kinematics(model: RobotModel, state: PhysicsState) -> BodyFrames:
     p = jnp.stack(ps, axis=1)
     com_l = jnp.asarray(model.com, dtype=f32)
     com = p + _einsum("nbij,bj->nbi", R, com_l)
+    N = state.base_pos.shape[0]
+    if model.nj == 0:          # single free body (e.g. models.robot.box)
+        empty = jnp.zeros((N, 0, 3), f32)
+        return BodyFrames(R=R, p=p, com=com, joint_axis_w=empty,
+                          joint_anchor_w=empty)
     anchors_w = jnp.stack([ps[int(model.joint_body[j])]
                            for j in range(model.nj)], axis=1)
     return BodyFrames(
@@ -473,10 +488,9 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, Sw, Sv, frames,
 
     # M^-1 J^T via the precomputed closed-form inverse (ops/linalg.py)
     MinvJT_p = _einsum("nvw,npiw->npvi", Minv, J)     # (N, P, nv, 3)
-    # per-point effective-mass inverse blocks  W = J M^-1 J^T (3x3)
+    # per-point effective-mass blocks  W = J M^-1 J^T + eps I (3x3)
     W = _einsum("npiv,npvj->npij", J, MinvJT_p)
     W = W + 1e-6 * jnp.eye(3, dtype=f32)
-    Lam = la.inv3(W)
 
     mu = 0.5 * (dyn.friction[:, None] + 1.0)             # average combine w/ ground
     e = dyn.restitution[:, None]
@@ -490,40 +504,52 @@ def _contact_solve(model: RobotModel, params: SimParams, Minv, Sw, Sv, frames,
     target_n = jnp.maximum(bounce, bias)
 
     lam, gen_vel_new = _impulse_iteration(
-        params, J, MinvJT_p, Lam, n_srf, target_n, mu, active, gen_vel)
+        params, J, MinvJT_p, W, n_srf, target_n, mu, active, gen_vel)
     forces = lam / dt                                     # impulses -> forces
     return gen_vel_new - gen_vel, forces, p_cp
 
 
-def _impulse_iteration(params: SimParams, J, MinvJT_p, Lam, n_srf, target_n,
+def _impulse_iteration(params: SimParams, J, MinvJT_p, W, n_srf, target_n,
                        mu, active, gen_vel):
-    """Projected-Jacobi impulse iterations — XLA fori_loop or the
-    VMEM-resident Pallas kernel (params.use_pallas_contact)."""
-    if params.use_pallas_contact:
-        from ..ops.pallas_contact import contact_solve_pallas
-        mu_full = jnp.broadcast_to(mu, target_n.shape)
-        gv_new, lam = contact_solve_pallas(
-            J, MinvJT_p, Lam, n_srf, target_n, mu_full, active, gen_vel,
-            params.num_contact_iters, params.relaxation)
-        return lam, gv_new
+    """Row-decoupled projected-Jacobi impulse iterations (XLA fori_loop).
 
+    Each contact solves two decoupled scalar rows against its effective-
+    mass matrix W = J M^-1 J^T: the normal row drives v_n to target with
+    mass n^T W n; the friction row pushes opposite the current slip
+    direction t with mass t^T W t, then the accumulated tangential
+    impulse is clamped to the mu * lambda_n cone.  This is the classical
+    PGS/sequential-impulse structure (PhysX/Bullet/MuJoCo): at a sliding
+    contact the friction impulse saturates the cone exactly.  The earlier
+    coupled 3x3 block solve (Lam = W^-1 applied to the full desired
+    velocity change) chased the unreachable target "slip -> 0", and its
+    cone projection biased the fixed point ~12% inside the cone with
+    ~9 mm penetration creep (see runs/mujoco_parity).
+
+    The Pallas env-minor pipeline implements the identical iteration in
+    ops/pallas_contact.contact_core (used by the cached/megastep paths);
+    this XLA path serves heightfield terrain and oracle tests."""
     N, P = target_n.shape
     lam0 = jnp.zeros((N, P, 3), gen_vel.dtype)
+    w_nn = _einsum("npi,npij,npj->np", n_srf, W, n_srf)
+    inv_w_nn = params.relaxation / w_nn
 
     def iter_body(_, carry):
         lam, gv = carry
         v = _einsum("npiv,nv->npi", J, gv)
-        # desired velocity: normal -> target_n, tangential -> 0
-        dv_des = target_n[..., None] * n_srf - v
-        dlam = params.relaxation * _einsum("npij,npj->npi", Lam, dv_des)
-        new_lam = lam + dlam
-        # project: normal >= 0, tangential inside friction cone
-        ln = _einsum("npi,npi->np", new_lam, n_srf)
-        lt = new_lam - ln[..., None] * n_srf
-        ln = jnp.maximum(ln, 0.0)
-        lt_norm = jnp.linalg.norm(lt, axis=-1)
+        vn = _einsum("npi,npi->np", v, n_srf)
+        vt = v - vn[..., None] * n_srf
+        vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-18)
+        t = vt / vt_norm[..., None]
+        # vt = 0 exactly makes t the zero vector: floor w_tt at eps
+        w_tt = jnp.maximum(_einsum("npi,npij,npj->np", t, W, t), 1e-6)
+        dln = (target_n - vn) * inv_w_nn
+        dlt = -params.relaxation * vt_norm / w_tt
+        l_n0 = _einsum("npi,npi->np", lam, n_srf)
+        ln = jnp.maximum(l_n0 + dln, 0.0)
+        lt = lam - l_n0[..., None] * n_srf + dlt[..., None] * t
+        lt_norm = jnp.sqrt(jnp.sum(lt * lt, axis=-1) + 1e-18)
         max_t = mu * ln
-        scale = jnp.where(lt_norm > max_t, max_t / jnp.maximum(lt_norm, 1e-9), 1.0)
+        scale = jnp.where(lt_norm > max_t, max_t / lt_norm, 1.0)
         new_lam = ln[..., None] * n_srf + lt * scale[..., None]
         new_lam = jnp.where(active[..., None], new_lam, 0.0)
         applied = new_lam - lam
@@ -545,7 +571,7 @@ class PallasOps(NamedTuple):
     physics/envminor.py + the contact-cache kernel."""
 
     J_t: jnp.ndarray       # (P, 3, nv, Npad)
-    Lam_t: jnp.ndarray     # (P, 9, Npad)
+    W_t: jnp.ndarray       # (P, 9, Npad) effective-mass J M^-1 J^T + eps I
     Minv_t: jnp.ndarray    # (nv, nv, Npad)
     rh_t: jnp.ndarray      # (P, Npad) radius + terrain height per point
     mu_t: jnp.ndarray      # (1, Npad)
@@ -581,7 +607,7 @@ class DynamicsCache(NamedTuple):
     Minv: jnp.ndarray = None
     J: jnp.ndarray = None     # (N, P, 3, nv)
     MinvJT_p: jnp.ndarray = None   # (N, P, nv, 3)
-    Lam: jnp.ndarray = None   # (N, P, 3, 3)
+    W: jnp.ndarray = None     # (N, P, 3, 3) effective-mass J M^-1 J^T + eps I
     p_cp: jnp.ndarray = None  # (N, P, 3) contact point world positions at
     # the anchor state — integrated at velocity level across the control
     # step's substeps (p' = p + dt J qd) instead of re-running FK, the same
@@ -636,7 +662,7 @@ def build_dynamics_cache(model: RobotModel, params: SimParams,
     ref = state.base_pos
     if params.use_pallas_contact:
         # env-minor pipeline: FK/inertia/CRBA/M^-1 in scalar-per-env form
-        # (physics/envminor.py), J/Lam in the Pallas cache kernel — no
+        # (physics/envminor.py), J/W in the Pallas cache kernel — no
         # N-major dynamics tensor is ever materialized
         from ..ops import pallas_contact as pc
         interpret = jax.default_backend() != "tpu"
@@ -645,11 +671,11 @@ def build_dynamics_cache(model: RobotModel, params: SimParams,
             model, state, dyn, terrain, block)
         anc_pn = jnp.asarray(model.anc_dof_body[:, model.cp_body].T,
                              dtype=f32)                      # (P, nv)
-        J_t, Lam_t = pc.build_contact_cache_pallas(
+        J_t, W_t = pc.build_contact_cache_pallas(
             anc_pn, em.Sw_t, em.Sv_t, em.Minv_t, em.r_t, block=block,
             interpret=interpret)
         pallas_ops = PallasOps(
-            J_t=J_t, Lam_t=Lam_t, Minv_t=em.Minv_t, rh_t=rh_t, mu_t=mu_t,
+            J_t=J_t, W_t=W_t, Minv_t=em.Minv_t, rh_t=rh_t, mu_t=mu_t,
             e_t=e_t, p_cp_t=em.p_cp_t, Sw_t=em.Sw_t, Sv_t=em.Sv_t,
             A_t=em.A_t, B_t=em.B_t, m_t=em.m_t, g_t=g_t, n_t=n_t,
             block=block)
@@ -678,9 +704,8 @@ def build_dynamics_cache(model: RobotModel, params: SimParams,
     J = jnp.swapaxes(Jl * anc_p.T[None, :, None, :].transpose(0, 1, 3, 2), 2, 3)
     MinvJT_p = _einsum("nvw,npiw->npvi", Minv, J)
     W = _einsum("npiv,npvj->npij", J, MinvJT_p) + 1e-6 * jnp.eye(3, dtype=f32)
-    Lam = la.inv3(W)
     return DynamicsCache(ref=ref, Sw=Sw, Sv=Sv, blk=blk, Minv=Minv, J=J,
-                         MinvJT_p=MinvJT_p, Lam=Lam, p_cp=p_cp)
+                         MinvJT_p=MinvJT_p, W=W, p_cp=p_cp)
 
 
 def physics_substep_cached(
@@ -738,7 +763,7 @@ def physics_substep_cached(
             jnp.asarray(model.dof_vel_limit, dtype=f32)])[:, None]
         gv_new_t, p_cp, lam_t = pd.dynamics_substep_pallas(
             po.Sw_t, po.Sv_t, po.A_t, po.B_t, po.m_t, po.Minv_t, po.g_t,
-            tau_t, gv_t, po.J_t, po.Lam_t, p_cp, po.rh_t, po.mu_t, po.e_t,
+            tau_t, gv_t, po.J_t, po.W_t, p_cp, po.rh_t, po.mu_t, po.e_t,
             vlim, po.n_t, anc=model.anc_dof_body,
             joint_body=model.joint_body,
             cp_body=model.cp_body,
@@ -753,19 +778,23 @@ def physics_substep_cached(
         cp_forces = None          # materialized lazily from lam_t by caller
         gen_vel_free = None
     else:
-        Vw, Vv = body_twists(model, cache.Sw, cache.Sv, gen_vel)
-        bias = bias_forces(model, cache.Sw, cache.Sv, Vw, Vv, cache.blk,
-                           gen_vel, dyn.gravity)
-        qdd = _einsum("nij,nj->ni", cache.Minv, tau - bias)
-        qdd = qdd.at[:, 3:6].add(jnp.cross(state.base_ang_vel, v_ref))
-        gen_vel_free = gen_vel + dt * qdd
+        # midpoint (RK2) on the velocity-product terms (see physics_substep)
+        def qdd_of(gv):
+            Vw_, Vv_ = body_twists(model, cache.Sw, cache.Sv, gv)
+            b = bias_forces(model, cache.Sw, cache.Sv, Vw_, Vv_, cache.blk,
+                            gv, dyn.gravity)
+            qdd = _einsum("nij,nj->ni", cache.Minv, tau - b)
+            return qdd.at[:, 3:6].add(jnp.cross(gv[:, :3], gv[:, 3:6]))
+
+        gv_mid = gen_vel + (0.5 * dt) * qdd_of(gen_vel)
+        gen_vel_free = gen_vel + dt * qdd_of(gv_mid)
         if p_cp is None:
             p_cp = cache.p_cp
     if use_pallas:
         pass
     elif params.contact_enabled:
         # fresh contact gaps from the velocity-integrated point estimate;
-        # cached J/Lam
+        # cached J/W
         radius = jnp.asarray(model.cp_radius, dtype=f32)
         h, n_srf = terrain.lookup(p_cp[..., 0], p_cp[..., 1])
         phi = h + radius[None, :] - p_cp[..., 2]
@@ -782,7 +811,7 @@ def physics_substep_cached(
             params.max_depenetration_velocity)
         target_n = jnp.maximum(bounce, cbias)
         lam, gen_vel_new = _impulse_iteration(
-            params, cache.J, cache.MinvJT_p, cache.Lam, n_srf, target_n,
+            params, cache.J, cache.MinvJT_p, cache.W, n_srf, target_n,
             mu, active, gen_vel_free)
         cp_forces = lam / dt
     else:
@@ -848,7 +877,7 @@ def control_step_megakernel(
     """One whole control step through the Pallas mega-kernel
     (ops/pallas_megastep.py): `decimation` substeps of torque model +
     cached dynamics + contact + integration in a single launch, with the
-    J/Lam cache built in-kernel.  Reuse-mode semantics (cache anchored at
+    J/W cache built in-kernel.  Reuse-mode semantics (cache anchored at
     the entry state, contact points advanced at velocity level).
 
     Returns (new_state, lam_t, pcp_t, pcp_prev_t, torques (N, 12),
@@ -1005,15 +1034,28 @@ def physics_substep(
     )
 
     # unconstrained velocity update — closed-form M^-1 (no sequential linalg
-    # on TPU; see ops/linalg.py)
+    # on TPU; see ops/linalg.py).  The velocity-product terms (RNEA bias +
+    # the spatial->material w x v correction for the base point) are
+    # integrated with a midpoint (RK2) evaluation: explicit Euler is
+    # unconditionally unstable for the gyroscopic part (imaginary
+    # eigenvalues — zero-torque tumbling gains ~6%/s energy at |w| = 5
+    # rad/s and diverges past ~15 rad/s at dt = 5 ms), while the midpoint
+    # update is near-conservative through 40 rad/s (runs/seed2_blowup).
     Minv = _mass_matrix_inverse(model, M)
-    qdd_free = _einsum("nij,nj->ni", Minv, tau - bias)
-    # spatial -> material acceleration for the base point: the solved linear
-    # component is the fixed-point (spatial) derivative; the material particle
-    # at the reference adds w x v (Featherstone, conventional vs spatial acc).
-    conv = jnp.cross(state.base_ang_vel, state.base_lin_vel)
-    qdd_free = qdd_free.at[:, 3:6].add(conv)
-    gen_vel_free = gen_vel + dt * qdd_free
+
+    def qdd_of(gv, Vw_, Vv_):
+        b = bias_forces(model, Sw, Sv, Vw_, Vv_, blk, gv, dyn.gravity)
+        qdd = _einsum("nij,nj->ni", Minv, tau - b)
+        # spatial -> material acceleration for the base point: the solved
+        # linear component is the fixed-point (spatial) derivative; the
+        # material particle at the reference adds w x v (Featherstone,
+        # conventional vs spatial acc).
+        return qdd.at[:, 3:6].add(jnp.cross(gv[:, :3], gv[:, 3:6]))
+
+    qdd1 = qdd_of(gen_vel, Vw, Vv)
+    gv_mid = gen_vel + (0.5 * dt) * qdd1
+    Vw_m, Vv_m = body_twists(model, Sw, Sv, gv_mid)
+    gen_vel_free = gen_vel + dt * qdd_of(gv_mid, Vw_m, Vv_m)
 
     # contact impulses on the post-free velocity (semi-implicit)
     if params.contact_enabled:
