@@ -1,0 +1,63 @@
+"""Cross-engine physics validation vs MuJoCo (installed in this image).
+
+Thin pytest wrapper over scripts/mujoco_parity.py — each experiment
+generates the MJCF from the SAME RobotModel the engine integrates
+(models/mjcf.py), rolls both engines, and gates on stated tolerances.
+The full study with measured values is committed in runs/mujoco_parity/.
+
+Reference context: the reference's physics authority is PhysX
+(go1_gym/envs/base/legged_robot.py:74-81, config
+legged_robot_config.py:402-421); IsaacGym cannot run here, so MuJoCo is
+the independent oracle (round-3 verdict item 1).
+"""
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+import mujoco_parity as mp  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def out(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("mujoco_parity"))
+
+
+def test_box_slide_kinetic_friction(out):
+    """Slide deceleration == mu*g: ours within one-substep discretization
+    of analytic AND within 0.05 m/s of MuJoCo pointwise."""
+    assert mp.run_box_slide(out)
+
+
+def test_box_incline_stick_slip(out):
+    """Stick below arctan(mu); above it, slide accel g(sin-mu cos) within
+    0.05 m/s^2 of analytic and 0.08 of MuJoCo."""
+    assert mp.run_box_incline(out)
+
+
+def test_box_rest_penetration(out):
+    """Resting penetration within contact_slop (2 mm)."""
+    assert mp.run_box_rest(out)
+
+
+def test_box_bounce_restitution(out):
+    """Rebound apex e^2 h0 within 20% (engine vs analytic; MuJoCo ships
+    no restitution coefficient)."""
+    assert mp.run_box_bounce(out)
+
+
+def test_go1_standing_forces(out):
+    """Steady standing: total normal force == weight within 5% in BOTH
+    engines; stand height within 3 cm of MuJoCo."""
+    assert mp.run_go1_standing(out)
+
+
+@pytest.mark.heavy
+def test_go1_closed_loop_replay(out):
+    """2 s closed-loop PD dance: exact mode within mm/deg-scale of MuJoCo
+    (measured: z_rmse 3.5 mm, tilt_max 4.8 deg, joint_rmse 0.033 rad);
+    matrix-reuse mode no worse than the same-control-rate exact run."""
+    assert mp.run_go1_replay(out)
