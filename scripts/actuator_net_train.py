@@ -103,7 +103,8 @@ def save(params, out: str):
     print(f"saved actuator net to {out}")
 
 
-if __name__ == "__main__":
+def main():
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-dir", default="deploy_logs")
     ap.add_argument("--out", default="resources/actuator_nets/custom.npz")
@@ -113,3 +114,7 @@ if __name__ == "__main__":
     print(f"dataset: {x.shape[0]} samples")
     params = train(x, y, epochs=a.epochs)
     save(params, a.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,8 @@ def evaluate(policy_path: str, settings, steps: int, num_envs: int, seed: int):
     return results
 
 
-if __name__ == "__main__":
+def main():
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--policy", default="runs/latest/checkpoints/policy_latest.npz")
     ap.add_argument("--settings", nargs="+",
@@ -64,3 +65,7 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=0)
     a = ap.parse_args()
     evaluate(a.policy, a.settings, a.steps, a.num_envs, a.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -123,7 +123,8 @@ def play_go1(policy_path: str, steps: int = 250, plot: bool = False,
     return vxs
 
 
-if __name__ == "__main__":
+def main():
+
     p = argparse.ArgumentParser()
     p.add_argument("--policy", type=str,
                    default="runs/latest/checkpoints/policy_latest.npz")
@@ -133,3 +134,7 @@ if __name__ == "__main__":
     p.add_argument("--plot-path", type=str, default=None)
     a = p.parse_args()
     play_go1(a.policy, a.steps, plot=a.plot, plot_path=a.plot_path)
+
+
+if __name__ == "__main__":
+    main()

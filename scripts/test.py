@@ -39,9 +39,14 @@ def run_env(num_envs: int = 3, steps: int = 1000, seed: int = 0):
     print("OK")
 
 
-if __name__ == "__main__":
+def main():
+
     p = argparse.ArgumentParser()
     p.add_argument("--num-envs", type=int, default=3)
     p.add_argument("--steps", type=int, default=1000)
     a = p.parse_args()
     run_env(a.num_envs, a.steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,3 +38,19 @@ def _clear_jax_caches_between_modules():
     reproducible, while every module passes in a fresh process)."""
     yield
     jax.clear_caches()
+
+
+# -- fast/heavy tiers --------------------------------------------------------
+# `pytest -m "not heavy"` is the fast tier (round-3 verdict item 4: the
+# full suite's interpret-mode Pallas parity modules take tens of minutes
+# cold).  Module-level marking keeps the tier list in one place.
+_HEAVY_MODULES = {
+    "test_pallas_contact", "test_pallas_dynamics", "test_pallas_megastep",
+    "test_warm_start",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _HEAVY_MODULES:
+            item.add_marker(pytest.mark.heavy)
