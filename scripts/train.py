@@ -19,7 +19,8 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
               algo: str = "cse", use_mesh: bool = False,
               multihost: bool = False, exact: bool = False,
               terrain: str = "flat", warm_start: bool | None = None,
-              warm_iters: int | None = None, resume: str | None = None):
+              warm_iters: int | None = None, resume: str | None = None,
+              eval_dr: str | None = None, eval_terrain: str | None = None):
     from walk_these_ways_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     from walk_these_ways_tpu.go1_config import mob_train_cfg, rough_train_cfg
@@ -43,6 +44,20 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
     cfg_fn = rough_train_cfg if terrain == "rough" else mob_train_cfg
     cfg = cfg_fn(num_envs=num_envs)
     eval_cfg = cfg_fn(num_envs=num_eval_envs) if num_eval_envs else None
+    if eval_cfg is not None and eval_dr is not None:
+        # eval slice under a DR sweep preset (reference eval_metrics
+        # DR_SETTINGS applied to the eval env while training continues)
+        import dataclasses
+        from walk_these_ways_tpu.learn.eval_metrics import DR_SETTINGS
+        eval_cfg = dataclasses.replace(
+            eval_cfg, domain_rand=DR_SETTINGS[eval_dr])
+    if eval_cfg is not None and eval_terrain is not None:
+        # eval slice on its own terrain rows, appended to the train
+        # heightfield (reference utils/terrain.py:12-30)
+        ev_fn = rough_train_cfg if eval_terrain == "rough" else mob_train_cfg
+        import dataclasses
+        eval_cfg = dataclasses.replace(
+            eval_cfg, terrain=ev_fn(num_envs=num_eval_envs).terrain)
     if warm_start is not None:
         import dataclasses
         cfg = dataclasses.replace(
@@ -119,6 +134,14 @@ def main():
     p.add_argument("--warm-iters", type=int, default=None,
                    help="warm-started solver iterations per substep "
                         "(SimCfg.num_contact_iters_warm)")
+    p.add_argument("--eval-dr", type=str, default=None,
+                   help="DR preset for the eval slice "
+                        "(learn.eval_metrics.DR_SETTINGS key, e.g. "
+                        "static_high); requires --num-eval-envs")
+    p.add_argument("--eval-terrain", type=str, default=None,
+                   choices=["flat", "rough"],
+                   help="give the eval slice its own terrain rows "
+                        "(appended after the train rows)")
     p.add_argument("--resume", type=str, default=None, metavar="CKPT",
                    help="checkpoint .pkl to resume from (restores train "
                         "state incl. env/curriculum/RNG; training continues "
@@ -133,7 +156,8 @@ def main():
               num_eval_envs=a.num_eval_envs, eval_expert=a.eval_expert,
               algo=a.algo, use_mesh=a.mesh, multihost=a.multihost,
               exact=a.exact, terrain=a.terrain, warm_start=a.warm_start,
-              warm_iters=a.warm_iters, resume=a.resume)
+              warm_iters=a.warm_iters, resume=a.resume,
+              eval_dr=a.eval_dr, eval_terrain=a.eval_terrain)
 
 
 if __name__ == "__main__":

@@ -205,3 +205,44 @@ def test_envelope_exit_terminates(env_and_state):
     done = np.asarray(done)
     assert done[0], "cap-saturating env must terminate"
     assert not done[1:].any(), "healthy envs must not"
+
+
+def test_eval_split_commands_and_terrain_divergence():
+    """eval_cfg may diverge in commands and terrain (reference
+    base_task.py:43-50 per-split cfg dispatch; utils/terrain.py:12-30
+    appends eval terrain rows): eval envs get their own command
+    curriculum over the eval limits and spawn on the appended eval rows."""
+    import dataclasses as dc
+    from walk_these_ways_tpu.go1_config import mob_train_cfg
+
+    cfg = mob_train_cfg(num_envs=3)
+    ev = mob_train_cfg(num_envs=3)
+    # eval commands: forward-only x velocity with different bin count
+    ev = dc.replace(ev, commands=dc.replace(
+        ev.commands, limit_vel_x=(0.5, 2.0), num_bins_vel_x=5,
+        resampling_time=ev.commands.resampling_time))
+    # eval terrain: its own (still all-flat boxes) rows appended
+    ev = dc.replace(ev, terrain=dc.replace(
+        ev.terrain, num_rows=2, num_cols=2, mesh_type="heightfield",
+        terrain_proportions=(0.0, 1.0)))
+    env = LeggedRobotEnv(cfg, eval_cfg=ev)
+    assert env.eval_commands_differ and env.eval_terrain_differs
+    T = env.num_train_envs
+    # eval spawn rows sit beyond the train block along x
+    tr_max_x = float(np.asarray(env.env_origins[:T, 0]).max())
+    ev_min_x = float(np.asarray(env.env_origins[T:, 0]).min())
+    assert ev_min_x > tr_max_x
+
+    state, obs = env.reset(jax.random.PRNGKey(3))
+    # force a resample on every env and check per-split command limits
+    state = env._resample_commands(
+        state, jnp.ones(env.num_envs, bool), jax.random.PRNGKey(7))
+    vx = np.asarray(state.commands[:, 0])
+    assert (vx[T:] >= 0.5 - 1e-5).all() and (vx[T:] <= 2.0 + 1e-5).all(), vx
+    # train split keeps the symmetric limits (some negative mass exists
+    # in the grid; just check the bounds)
+    assert (vx[:T] >= -10.0 - 1e-5).all() and (vx[:T] <= 10.0 + 1e-5).all()
+    # eval curriculum state exists and has the eval grid's bin count
+    assert state.curriculum_eval is not None
+    assert (state.curriculum_eval.weights.shape
+            != state.curriculum.weights.shape)

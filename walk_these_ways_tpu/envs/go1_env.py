@@ -101,6 +101,10 @@ class EnvState(NamedTuple):
     # structure is config-independent; stays zero unless
     # sim.contact_cross_step_warm_start is on.
     contact_lam_t: jnp.ndarray           # (P, 3, Npad)
+    # eval slice's own command curriculum over eval_cfg.commands' grid
+    # (None — a leafless subtree — unless the eval commands cfg diverges,
+    # so default-case checkpoints keep their key paths)
+    curriculum_eval: "curr.CurriculumState | None" = None
 
 
 class StepInfo(NamedTuple):
@@ -140,20 +144,30 @@ class LeggedRobotEnv:
         self.num_train_envs = cfg.env.num_envs
         self.num_eval_envs = eval_cfg.env.num_envs if eval_cfg else 0
         if eval_cfg is not None:
-            # supported divergence: domain_rand (and env.num_envs); the
-            # rest of the config tree is baked into one program
+            # supported divergence: domain_rand, commands, terrain (and
+            # env.num_envs) — mirroring the reference's per-split cfg
+            # dispatch (_call_train_eval, legged_robot.py:531-544, and the
+            # eval terrain rows in utils/terrain.py:12-30); the rest of
+            # the config tree is baked into one program
             import dataclasses as _dc
             a = _dc.replace(cfg, env=_dc.replace(cfg.env, num_envs=0),
-                            domain_rand=cfg.domain_rand)
+                            domain_rand=cfg.domain_rand,
+                            commands=cfg.commands, terrain=cfg.terrain)
             b = _dc.replace(eval_cfg, env=_dc.replace(eval_cfg.env, num_envs=0),
-                            domain_rand=cfg.domain_rand)
+                            domain_rand=cfg.domain_rand,
+                            commands=cfg.commands, terrain=cfg.terrain)
             assert a == b, ("eval_cfg may differ from cfg only in "
-                            "domain_rand and env.num_envs")
+                            "domain_rand, commands, terrain and "
+                            "env.num_envs")
             cfg = _dc.replace(
                 cfg, env=_dc.replace(
                     cfg.env,
                     num_envs=self.num_train_envs + self.num_eval_envs))
             self.cfg = cfg
+        self.eval_commands_differ = (
+            eval_cfg is not None and eval_cfg.commands != cfg.commands)
+        self.eval_terrain_differs = (
+            eval_cfg is not None and eval_cfg.terrain != cfg.terrain)
         self.num_envs = cfg.env.num_envs
         self.num_obs = cfg.env.num_observations
         self.num_privileged_obs = cfg.env.num_privileged_obs
@@ -166,7 +180,35 @@ class LeggedRobotEnv:
 
         # terrain ---------------------------------------------------------
         np_rng = np.random.RandomState(terrain_seed)
-        if cfg.terrain.mesh_type in ("heightfield", "trimesh"):
+        hf_types = ("heightfield", "trimesh")
+        if self.eval_terrain_differs and (
+                cfg.terrain.mesh_type in hf_types
+                or eval_cfg.terrain.mesh_type in hf_types):
+            # per-split terrains: eval rows appended after the train rows
+            # in one heightfield (reference utils/terrain.py:12-30 takes
+            # both cfgs; eval env origins land on the eval rows).  A
+            # plane-type split still goes through build() — its tiles
+            # resolve flat.
+            tr_arr = terrain_mod.build(cfg.terrain, seed=terrain_seed)
+            ev_arr = terrain_mod.build(eval_cfg.terrain,
+                                       seed=terrain_seed + 1)
+            combined, ev_shifted = terrain_mod.combine_with_eval(
+                tr_arr, ev_arr)
+            if np.abs(combined.height).max() == 0.0:
+                self.terrain = engine.flat_terrain()
+            else:
+                self.terrain = engine.Terrain(
+                    height=jnp.asarray(combined.height),
+                    horizontal_scale=combined.horizontal_scale,
+                    origin_xy=combined.origin_xy,
+                )
+            origins = np.concatenate([
+                terrain_mod.assign_env_origins(
+                    cfg.terrain, combined, self.num_train_envs, np_rng),
+                terrain_mod.assign_env_origins(
+                    eval_cfg.terrain, ev_shifted, self.num_eval_envs,
+                    np_rng)], axis=0)
+        elif cfg.terrain.mesh_type in hf_types:
             arrays = terrain_mod.build(cfg.terrain, seed=terrain_seed)
             if np.abs(arrays.height).max() == 0.0:
                 # all-flat tiles (e.g. the MoB train config): use the
@@ -232,6 +274,12 @@ class LeggedRobotEnv:
 
         # curriculum ------------------------------------------------------
         self.curr_grid = curr.make_grid(cfg.commands)
+        # per-split command curriculum: the eval slice samples from its
+        # own grid over eval_cfg.commands (reference _call_train_eval
+        # dispatches _resample_commands with each split's cfg,
+        # legged_robot.py:531-544, 710-824)
+        self.curr_grid_eval = (curr.make_grid(eval_cfg.commands)
+                               if self.eval_commands_differ else None)
         # dt-scaled reward scales (legged_robot.py:1394-1400)
         self.reward_names = rew_mod.active_terms(cfg)
         scales = dict(cfg.reward_scales.items())
@@ -274,6 +322,13 @@ class LeggedRobotEnv:
 
         # derived intervals (legged_robot.py:1716-1732)
         self.resample_interval = int(cfg.commands.resampling_time / self.dt)
+        if self.eval_commands_differ:
+            ev_interval = int(eval_cfg.commands.resampling_time / self.dt)
+            self.resample_interval_arr = jnp.asarray(np.concatenate([
+                np.full(self.num_train_envs, self.resample_interval),
+                np.full(self.num_eval_envs, ev_interval)]), jnp.int32)
+        else:
+            self.resample_interval_arr = None
         self.rand_interval = int(np.ceil(cfg.domain_rand.rand_interval_s / self.dt))
         self.push_interval = int(np.ceil(cfg.domain_rand.push_interval_s / self.dt))
         self.gravity_rand_interval = int(
@@ -415,6 +470,9 @@ class LeggedRobotEnv:
             episode_sums=jnp.zeros((N, n_terms + 1)),
             command_sums=jnp.zeros((N, len(COMMAND_SUM_KEYS))),
             curriculum=curr.init_state(cfg.commands, self.curr_grid),
+            curriculum_eval=(
+                curr.init_state(self.eval_cfg.commands, self.curr_grid_eval)
+                if self.eval_commands_differ else None),
             env_command_bins=jnp.zeros(N, jnp.int32),
             env_command_categories=jnp.zeros(N, jnp.int32),
             obs_history=jnp.zeros((N, self.num_obs_history)),
@@ -857,7 +915,12 @@ class LeggedRobotEnv:
             foot_velocities=foot_velocities)
 
         # 5. command resampling w/ curriculum (legged_robot.py:683-686)
-        resample_mask = (episode_length % self.resample_interval) == 0
+        if self.resample_interval_arr is not None:
+            # per-split resampling cadence (eval commands cfg diverges)
+            resample_mask = (
+                episode_length % self.resample_interval_arr) == 0
+        else:
+            resample_mask = (episode_length % self.resample_interval) == 0
         state = self._resample_commands(state, resample_mask, k_resample)
 
         # 6. gait clocks (legged_robot.py:687)
@@ -1099,24 +1162,65 @@ class LeggedRobotEnv:
         Note the reference samples from the curricula unconditionally — the
         command_curriculum flag only gates extras logging."""
         cfg = self.cfg
-        ep_len = min(self.max_episode_length, self.resample_interval)
-        task_means = jnp.stack(
-            [state.command_sums[:, i] / ep_len for i in range(len(curr.TASK_KEYS))],
-            axis=-1)
-        cur = curr.update(
-            state.curriculum, self.curr_grid, mask,
-            state.env_command_bins, state.env_command_categories,
-            task_means, self.task_thresholds)
-        k_s, k_p = jax.random.split(rng)
-        new_cmds, new_bins, new_cats = curr.sample(
-            cur, self.curr_grid, k_s, self.num_envs)
-        new_cmds = curr.postprocess_gaitwise(new_cmds, new_cats, cfg.commands)
+        if not self.eval_commands_differ:
+            ep_len = min(self.max_episode_length, self.resample_interval)
+            task_means = jnp.stack(
+                [state.command_sums[:, i] / ep_len
+                 for i in range(len(curr.TASK_KEYS))], axis=-1)
+            cur = curr.update(
+                state.curriculum, self.curr_grid, mask,
+                state.env_command_bins, state.env_command_categories,
+                task_means, self.task_thresholds)
+            k_s, k_p = jax.random.split(rng)
+            new_cmds, new_bins, new_cats = curr.sample(
+                cur, self.curr_grid, k_s, self.num_envs)
+            new_cmds = curr.postprocess_gaitwise(new_cmds, new_cats,
+                                                 cfg.commands)
+            cur_ev = state.curriculum_eval
+        else:
+            # per-split curricula: the train slice updates/samples its
+            # grid, the eval slice its own over eval_cfg.commands
+            # (reference _call_train_eval + _resample_commands,
+            # legged_robot.py:531-544, 710-824)
+            T, E = self.num_train_envs, self.num_eval_envs
+            ep_tr = min(self.max_episode_length, self.resample_interval)
+            ep_ev = min(self.max_episode_length,
+                        int(self.eval_cfg.commands.resampling_time / self.dt))
+            task_means_tr = jnp.stack(
+                [state.command_sums[:T, i] / ep_tr
+                 for i in range(len(curr.TASK_KEYS))], axis=-1)
+            task_means_ev = jnp.stack(
+                [state.command_sums[T:, i] / ep_ev
+                 for i in range(len(curr.TASK_KEYS))], axis=-1)
+            cur = curr.update(
+                state.curriculum, self.curr_grid, mask[:T],
+                state.env_command_bins[:T],
+                state.env_command_categories[:T],
+                task_means_tr, self.task_thresholds)
+            cur_ev = curr.update(
+                state.curriculum_eval, self.curr_grid_eval, mask[T:],
+                state.env_command_bins[T:],
+                state.env_command_categories[T:],
+                task_means_ev, self.task_thresholds)
+            k_tr, k_ev = jax.random.split(rng)
+            cmds_tr, bins_tr, cats_tr = curr.sample(
+                cur, self.curr_grid, k_tr, T)
+            cmds_ev, bins_ev, cats_ev = curr.sample(
+                cur_ev, self.curr_grid_eval, k_ev, E)
+            cmds_tr = curr.postprocess_gaitwise(cmds_tr, cats_tr,
+                                                cfg.commands)
+            cmds_ev = curr.postprocess_gaitwise(cmds_ev, cats_ev,
+                                                self.eval_cfg.commands)
+            new_cmds = jnp.concatenate([cmds_tr, cmds_ev], axis=0)
+            new_bins = jnp.concatenate([bins_tr, bins_ev], axis=0)
+            new_cats = jnp.concatenate([cats_tr, cats_ev], axis=0)
         commands = jnp.where(mask[:, None], new_cmds[:, :15], state.commands)
         bins = jnp.where(mask, new_bins, state.env_command_bins)
         cats = jnp.where(mask, new_cats, state.env_command_categories)
         # reset command sums for resampled envs (legged_robot.py:822-824)
         cmd_sums = jnp.where(mask[:, None], 0.0, state.command_sums)
-        return state._replace(curriculum=cur, commands=commands,
+        return state._replace(curriculum=cur, curriculum_eval=cur_ev,
+                              commands=commands,
                               env_command_bins=bins,
                               env_command_categories=cats,
                               command_sums=cmd_sums)

@@ -175,15 +175,19 @@ def assign_env_origins(cfg: TerrainCfg, arrays: TerrainArrays, num_envs: int,
                        rng: np.random.RandomState) -> np.ndarray:
     """Terrain level/type per env (reference legged_robot.py:1675-1714)."""
     if cfg.center_robots:
-        min_lvl = cfg.num_rows // 2 - cfg.center_span
-        max_lvl = cfg.num_rows // 2 + cfg.center_span - 1
-        min_typ = cfg.num_cols // 2 - cfg.center_span
-        max_typ = cfg.num_cols // 2 + cfg.center_span - 1
+        min_lvl = max(cfg.num_rows // 2 - cfg.center_span, 0)
+        max_lvl = min(cfg.num_rows // 2 + cfg.center_span - 1,
+                      cfg.num_rows - 1)
+        min_typ = max(cfg.num_cols // 2 - cfg.center_span, 0)
+        max_typ = min(cfg.num_cols // 2 + cfg.center_span - 1,
+                      cfg.num_cols - 1)
         levels = rng.randint(min_lvl, max_lvl + 1, num_envs)
         types = rng.randint(min_typ, max_typ + 1, num_envs)
     else:
         max_init = cfg.max_init_terrain_level if cfg.curriculum else cfg.num_rows - 1
+        max_init = min(max_init, cfg.num_rows - 1)
         min_init = cfg.min_init_terrain_level if cfg.curriculum else 0
+        min_init = min(min_init, max_init)
         levels = rng.randint(min_init, max_init + 1, num_envs)
         types = (np.arange(num_envs) // (num_envs / cfg.num_cols)).astype(int)
         types = np.clip(types, 0, cfg.num_cols - 1)
@@ -199,3 +203,40 @@ def grid_env_origins(num_envs: int, spacing: float = 3.0) -> np.ndarray:
     out[:, 0] = spacing * rows
     out[:, 1] = spacing * cols
     return out
+
+
+def combine_with_eval(tr: TerrainArrays, ev: TerrainArrays
+                      ) -> Tuple[TerrainArrays, TerrainArrays]:
+    """Append an eval terrain's rows after the train terrain's rows in one
+    heightfield (reference utils/terrain.py:12-30: Terrain takes both cfgs
+    and lays out tot_rows = train_rows + eval_rows).
+
+    Returns (combined, ev_shifted): `combined` is the stacked heightfield
+    in the TRAIN terrain's world frame (use for engine lookup), and
+    `ev_shifted` is the eval TerrainArrays with its env_origins moved into
+    that frame (use with assign_env_origins for the eval envs)."""
+    assert tr.horizontal_scale == ev.horizontal_scale, (
+        "train/eval terrains must share horizontal_scale "
+        f"({tr.horizontal_scale} vs {ev.horizontal_scale})")
+    hs = tr.horizontal_scale
+    H1, W1 = tr.height.shape
+    H2, W2 = ev.height.shape
+    W = max(W1, W2)
+    height = np.concatenate(
+        [np.pad(tr.height, ((0, 0), (0, W - W1))),
+         np.pad(ev.height, ((0, 0), (0, W - W2)))], axis=0)
+    # world-frame shift of the eval block: its pixel rows now start at H1;
+    # origin_xy = -border for each build, so content world-x shifts by
+    # H1*hs - border_tr + border_ev and world-y by border_ev - border_tr
+    border_tr = -tr.origin_xy[0]
+    border_ev = -ev.origin_xy[0]
+    shift_x = H1 * hs - border_tr + border_ev
+    shift_y = border_ev - border_tr
+    ev_orig = ev.env_origins.copy()
+    ev_orig[..., 0] += shift_x
+    ev_orig[..., 1] += shift_y
+    combined = TerrainArrays(height=height, env_origins=tr.env_origins,
+                             horizontal_scale=hs, origin_xy=tr.origin_xy)
+    ev_shifted = TerrainArrays(height=height, env_origins=ev_orig,
+                               horizontal_scale=hs, origin_xy=tr.origin_xy)
+    return combined, ev_shifted

@@ -248,7 +248,11 @@ def make_train_iteration(env, args: PPO_Args = PPO_Args(),
         lr = jnp.where(
             (kl_mean < args.desired_kl / 2.0) & (kl_mean > 0.0),
             jnp.minimum(1e-2, lr * 1.5), lr)
-        opt_state[1].hyperparams["learning_rate"] = lr
+        # KL-adaptive LR: functional update via optax tree_set (the
+        # in-place hyperparams-dict mutation worked but relied on
+        # optax internals being a mutable dict inside the jit trace)
+        opt_state = optax.tree_utils.tree_set(
+            opt_state, learning_rate=lr)
         updates, opt_state = main_opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
