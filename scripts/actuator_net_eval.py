@@ -93,10 +93,5 @@ def main():
         print(f"wrote {a.out}")
 
 
-def main():
-
-    main()
-
-
 if __name__ == "__main__":
     main()
