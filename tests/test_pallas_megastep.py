@@ -2,7 +2,7 @@
 
 ops/pallas_megastep.py folds the torque model, all decimation substeps
 (dynamics + contact) and the base/joint integration into ONE kernel
-launch with the J/Lam contact cache built in-kernel.  It must reproduce
+launch with the J/W contact cache built in-kernel.  It must reproduce
 the per-substep path (go1_env.step with sim.megastep=False: XLA torque
 model + per-substep Pallas kernels), which is itself parity-tested
 against the N-major XLA engine in tests/test_pallas_dynamics.py.
@@ -142,8 +142,10 @@ def test_megastep_heightfield():
 
 
 def test_megastep_exact_mode():
-    """Exact mode (reuse_matrices=False): the D=1 mega-kernel called per
-    substep with a fresh cache == the per-substep kernel path."""
+    """Exact mode (reuse_matrices=False) on flat ground: the single-launch
+    exact mega-kernel (full FK/CRBA/M^-1/J/W cache rebuilt from the
+    current state before every substep, inside the kernel, on the
+    sublane-split batch) == the per-substep kernel path."""
     n = 8
     base = mob_train_cfg(num_envs=n)
     base = dataclasses.replace(

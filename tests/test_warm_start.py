@@ -31,12 +31,13 @@ def _synthetic_contact_problem(seed=0, P=4, nv=18, B=8):
     Minv = jnp.asarray(np.repeat(Minv_m[..., None], B, axis=-1))
     J_m = rng.randn(P, 3, nv).astype(np.float32) * 0.5
     J = jnp.asarray(np.repeat(J_m[..., None], B, axis=-1))
-    # Lam = (J Minv J^T + eps I)^-1 per point
-    Lam9 = np.zeros((P, 9, B), np.float32)
+    # W = J Minv J^T + eps I per point (contact_core's row-decoupled
+    # solver consumes W itself, not its inverse)
+    W9 = np.zeros((P, 9, B), np.float32)
     for p in range(P):
-        W = J_m[p] @ Minv_m @ J_m[p].T + 1e-6 * np.eye(3)
-        Lam9[p] = np.linalg.inv(W).reshape(9)[:, None]
-    Lam = jnp.asarray(Lam9)
+        Wp = J_m[p] @ Minv_m @ J_m[p].T + 1e-6 * np.eye(3)
+        W9[p] = Wp.reshape(9)[:, None]
+    Lam = jnp.asarray(W9)
     p_cp = jnp.asarray(rng.uniform(-0.01, 0.03, (P, 3, B)).astype(np.float32))
     gv0 = jnp.asarray(rng.randn(nv, B).astype(np.float32))
     rh = jnp.full((P, B), 0.02, jnp.float32)

@@ -777,6 +777,19 @@ class LeggedRobotEnv:
                 state = state._replace(phys=phys2, torques=torques, **hist)
                 if cross_warm:
                     state = state._replace(contact_lam_t=lam_t)
+            elif self.terrain.height.shape == (2, 2):
+                # exact mode, flat ground: ONE launch for the whole
+                # control step with the full cache (FK/CRBA/M^-1/J/W)
+                # rebuilt from the current state before every substep
+                # INSIDE the kernel — no per-substep launches, no XLA
+                # cache chain, no HBM cache traffic (round-4 exact-mode
+                # throughput work; semantics = engine.physics_substep)
+                phys2, lam_t, p_cp_t, p_cp_prev_t, torques, hist = \
+                    engine.control_step_megakernel(
+                        m, self.sim_params, state.phys, dyn, self.terrain,
+                        tgt_eff, state.motor_strengths, self.torque_limits,
+                        _ctrl(state), D, exact=True)
+                state = state._replace(phys=phys2, torques=torques, **hist)
             else:
                 P_ = m.cp_body.shape[0]
                 blk = engine.MEGASTEP_BLOCK

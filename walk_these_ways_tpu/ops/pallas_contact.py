@@ -98,7 +98,10 @@ def cache_core(anc, Sw, Sv, Minv, r, *, eps: float):
     cx = sw1[None] * r2[:, None] - sw2[None] * r1[:, None]    # (P, nv, B)
     cy = sw2[None] * r0[:, None] - sw0[None] * r2[:, None]
     cz = sw0[None] * r1[:, None] - sw1[None] * r0[:, None]
-    m = anc[:, :, None]                                  # (P, nv, 1)
+    # (P, nv) mask broadcast over the batch dims; Mosaic cannot cast
+    # trailing singleton dims in-kernel, so the exact mega-kernel passes
+    # anc pre-shaped (P, nv, 1, 1) from the host
+    m = anc[:, :, None] if anc.ndim == 2 else anc
     Jx = m * (sv0[None] + cx)
     Jy = m * (sv1[None] + cy)
     Jz = m * (sv2[None] + cz)
@@ -109,8 +112,9 @@ def cache_core(anc, Sw, Sv, Minv, r, *, eps: float):
     # at (P, nv, B) instead of (P, 3, nv, B) (the mega-kernel runs within
     # ~300 KB of the 16 MB scoped-vmem limit at block=256)
     W = [[None] * 3 for _ in range(3)]
+    bt = Sw.shape[2:]        # trailing batch dims: (B,) or (8, B//8)
     for i in range(3):
-        t_i = jnp.zeros((P, nv, B), J.dtype)
+        t_i = jnp.zeros((P, nv) + bt, J.dtype)
         for w in range(nv):
             t_i += J[:, i, w, :][:, None, :] * Minv[w][None, :, :]
         for jc in range(3):
@@ -228,7 +232,7 @@ def contact_core(J, W, Minv, p_cp, gv0, rh, mu, e, vlim, *,
     Returns (gv_new, p_cp_new, lam)."""
     P = p_cp.shape[0]
     nv = gv0.shape[0]
-    B = gv0.shape[-1]
+    bt = gv0.shape[1:]       # trailing batch dims: (B,) or (8, B//8)
 
     if groups is None:
         def jdot(gv):
@@ -354,7 +358,7 @@ def contact_core(J, W, Minv, p_cp, gv0, rh, mu, e, vlim, *,
         return new_lam, gv + dgv
 
     if lam0 is None:
-        lam_init, gv_init = jnp.zeros((P, 3, B), J.dtype), gv0
+        lam_init, gv_init = jnp.zeros((P, 3) + bt, J.dtype), gv0
     else:
         jta = jt_apply(lam0)
         lam_init = lam0

@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import pallas_contact as pc
 from . import pallas_dynamics as pd
 from .pallas_contact import _spec
+from ..physics import envminor as _envminor
 
 
 def blockdiag_actuator_weights(params):
@@ -114,6 +115,42 @@ def _quat_integrate(quat, omega, dt):
     return jnp.concatenate([rx, ry, rz, rw], axis=0) * inv
 
 
+def _cache_arrays(model, q, quat, pos, payload, comdisp):
+    """Exact-mode in-kernel cache rebuild from the CURRENT state:
+    envminor.cache_columns (FK + twist bases + inertia blocks + block
+    CRBA + closed-form M^-1) on VMEM rows, stacked into the array
+    layouts cache_core/dyn_core consume.  The reference point is the
+    current base position (delta = 0), exactly like
+    engine.physics_substep.
+
+    VPU-utilization note: the chain is a few thousand independent
+    "scalar" ops over the env batch.  On a flat (1, B) row each op fills
+    only one of the VPU's 8 sublanes, so the exact path carries the env
+    batch pre-split as (..., 8, B/8) — done on the HOST side
+    (engine.control_step_megakernel), since Mosaic cannot lower the
+    sublane<->lane shape cast in-kernel — and every scalar op here is a
+    full-height (8, B/8) tile."""
+    nb, nj = model.nb, model.nj
+    q_cols = [q[j] for j in range(nj)]
+    quat_cols = [quat[i] for i in range(4)]
+    ref = [pos[i] for i in range(3)]
+    cd = [comdisp[i] for i in range(3)]
+    Sw, Sv, Minv, A_blk, B_blk, mb, r_cp, p_cp = _envminor.cache_columns(
+        model, q_cols, quat_cols, ref, payload[0], cd)
+    stk = jnp.stack
+    Sw_a = stk([stk(v, axis=0) for v in Sw], axis=0)     # (nv, 3, ...)
+    Sv_a = stk([stk(v, axis=0) for v in Sv], axis=0)
+    Minv_a = stk([stk(row, axis=0) for row in Minv], axis=0)
+    A9 = stk([stk([A_blk[b][i][j] for i in range(3) for j in range(3)],
+                  axis=0) for b in range(nb)], axis=0)   # (nb, 9, ...)
+    B9 = stk([stk([B_blk[b][i][j] for i in range(3) for j in range(3)],
+                  axis=0) for b in range(nb)], axis=0)
+    m_a = stk(mb, axis=0)                                # (nb, ...)
+    r_a = stk([stk(v, axis=0) for v in r_cp], axis=0)    # (P, 3, ...)
+    pcp_a = stk([stk(v, axis=0) for v in p_cp], axis=0)
+    return Sw_a, Sv_a, A9, B9, m_a, Minv_a, r_a, pcp_a
+
+
 def _megastep_kernel(*refs,
                      anc: np.ndarray, joint_body: np.ndarray, groups: tuple,
                      nb: int, nj: int, nv: int, P: int, D: int, dt: float,
@@ -123,20 +160,24 @@ def _megastep_kernel(*refs,
                      contact: bool, flat: bool, control_type: str,
                      limit_stiffness: float, limit_damping: float,
                      max_base_ang_vel: float, max_base_lin_vel: float,
-                     eps: float):
+                     eps: float, exact: bool = False, model=None):
     it = iter(refs)
 
     def nxt():
         return next(it)[:]
 
     anc_pn = nxt()            # (P, nv)
-    Sw = nxt()                # (nv, 3, B)
-    Sv = nxt()
-    Ab = nxt()                # (nb, 9, B)
-    Bb = nxt()
-    mb = nxt()                # (nb, B)
-    Minv = nxt()              # (nv, nv, B)
-    pcp = nxt()               # (P, 3, B)
+    if exact:
+        payload = nxt()       # (1, B)
+        comdisp = nxt()       # (3, B)
+    else:
+        Sw = nxt()            # (nv, 3, B)
+        Sv = nxt()
+        Ab = nxt()            # (nb, 9, B)
+        Bb = nxt()
+        mb = nxt()            # (nb, B)
+        Minv = nxt()          # (nv, nv, B)
+        pcp = nxt()           # (P, 3, B)
     rh = nxt()                # (P, B)
     mu = nxt()                # (1, B)
     e = nxt()                 # (1, B)
@@ -171,40 +212,54 @@ def _megastep_kernel(*refs,
     qhi = nxt()               # (12, 1)
     outs = list(it)
 
-    B = q.shape[-1]
+    bt = q.shape[1:]          # trailing batch dims: (B,) or (8, B//8)
     f32 = q.dtype
 
-    # contact cache once per control step, entirely in VMEM; r = contact
-    # points about the anchor (= entry base position, envminor.r_t)
-    r = pcp - jnp.expand_dims(pos, 0)
-    J, W = pc.cache_core(anc_pn, Sw, Sv, Minv, r, eps=eps)
+    if exact:
+        pcp = jnp.zeros((P, 3) + bt, f32)  # replaced by fresh FK below
+    else:
+        # contact cache once per control step, entirely in VMEM; r =
+        # contact points about the anchor (= entry base position,
+        # envminor.r_t)
+        r = pcp - jnp.expand_dims(pos, 0)
+        J, W = pc.cache_core(anc_pn, Sw, Sv, Minv, r, eps=eps)
 
     ref_pt = pos              # cache anchor = entry base position
     pcp_prev = pcp
-    lam = jnp.zeros((P, 3, B), f32) if lam_in is None else lam_in
-    tau_m = jnp.zeros((nj, B), f32)
-    zeros6 = jnp.zeros((6, B), f32)
+    lam = jnp.zeros((P, 3) + bt, f32) if lam_in is None else lam_in
+    tau_m = jnp.zeros((nj,) + bt, f32)
+    zeros6 = jnp.zeros((6,) + bt, f32)
     vlim_j = vlim[6:]         # (12, 1)
 
-    for s in range(D):
+    has_hist = control_type != "P"
+
+    def run_substep(tgt_s, q, qd, pos, quat, lin, ang, pcp, pcp_prev,
+                    lam, tau_m, hist, warm):
         # -- torque model (go1_env._compute_torques,
         #    reference legged_robot.py:907-946) --
-        tgt_s = tgt[s]                                       # (12, B)
         if control_type == "P":
             tau_m = kp * (tgt_s - q) - kd * qd
         else:
+            el, ell, vl, vll = hist
             err = q - tgt_s
             X = jnp.concatenate([err, el, ell, qd, vl, vll], axis=0)
-            h = _softsign(jax.lax.dot(W0b, X,
-                                      precision=jax.lax.Precision.HIGHEST)
-                          + b0b)
-            h = _softsign(jax.lax.dot(W1b, h,
-                                      precision=jax.lax.Precision.HIGHEST)
-                          + b1b)
-            tau_m = jax.lax.dot(W2b, h,
-                                precision=jax.lax.Precision.HIGHEST) + b2b
-            ell, el = el, err
-            vll, vl = vl, qd
+
+            def _net(X2):
+                h = _softsign(jax.lax.dot(
+                    W0b, X2, precision=jax.lax.Precision.HIGHEST) + b0b)
+                h = _softsign(jax.lax.dot(
+                    W1b, h, precision=jax.lax.Precision.HIGHEST) + b1b)
+                return jax.lax.dot(
+                    W2b, h, precision=jax.lax.Precision.HIGHEST) + b2b
+
+            if X.ndim == 2:
+                tau_m = _net(X)
+            else:
+                # pre-split (8, B/8) batch: MXU dots need 2-D operands —
+                # run one (384, 72) x (72, B/8) chain per sublane row
+                tau_m = jnp.stack(
+                    [_net(X[:, sl]) for sl in range(X.shape[1])], axis=1)
+            hist = (err, el, qd, vl)
         tau_m = tau_m * strengths
         tau_m = jnp.clip(tau_m, -tlim, tlim)
 
@@ -216,8 +271,22 @@ def _megastep_kernel(*refs,
             - limit_damping * at_lim * qd
         tau_full = jnp.concatenate([zeros6, tau_m + tau_lim], axis=0)
 
+        if exact:
+            # exact mode: full cache rebuild (FK/CRBA/M^-1/J/W) from the
+            # CURRENT state, all in VMEM — the per-substep recomputation
+            # semantics of engine.physics_substep with zero extra
+            # launches or HBM cache traffic
+            Sw_, Sv_, Ab_, Bb_, mb_, Minv_, r_, pcp = _cache_arrays(
+                model, q, quat, pos, payload, comdisp)
+            J_, W_ = pc.cache_core(anc_pn, Sw_, Sv_, Minv_, r_, eps=eps)
+            ref = pos         # re-anchor: delta = 0
+        else:
+            Sw_, Sv_, Ab_, Bb_, mb_, Minv_ = Sw, Sv, Ab, Bb, mb, Minv
+            J_, W_ = J, W
+            ref = ref_pt
+
         # -- unconstrained dynamics at the anchor point --
-        delta = ref_pt - pos                                 # (3, B)
+        delta = ref - pos                                    # (3, B)
         v_ref = lin + _cross3(ang, delta)
         gv = jnp.concatenate([ang, v_ref, qd], axis=0)       # (nv, B)
         # midpoint (RK2) on the velocity-product terms: explicit Euler is
@@ -225,24 +294,19 @@ def _megastep_kernel(*refs,
         # eigenvalues) — zero-torque tumbling gains ~6%/s energy at
         # |w| = 5 rad/s and blows up past ~15; the midpoint evaluation is
         # near-conservative through 40 rad/s (runs/seed2_blowup study)
-        qdd1 = pd.dyn_core(Sw, Sv, Ab, Bb, mb, Minv, g, tau_full, gv,
-                           anc=anc, joint_body=joint_body,
+        qdd1 = pd.dyn_core(Sw_, Sv_, Ab_, Bb_, mb_, Minv_, g, tau_full,
+                           gv, anc=anc, joint_body=joint_body,
                            nb=nb, nj=nj, nv=nv)
         gv_mid = gv + (0.5 * dt) * qdd1
-        qdd = pd.dyn_core(Sw, Sv, Ab, Bb, mb, Minv, g, tau_full, gv_mid,
-                          anc=anc, joint_body=joint_body,
+        qdd = pd.dyn_core(Sw_, Sv_, Ab_, Bb_, mb_, Minv_, g, tau_full,
+                          gv_mid, anc=anc, joint_body=joint_body,
                           nb=nb, nj=nj, nv=nv)
         gv_free = gv + dt * qdd
 
         # -- contact solve + point advance --
         if contact:
-            # warm start: substeps after the first seed the iteration with
-            # the previous substep's converged impulses (PhysX-style) and
-            # run the shorter warm iteration count; with a cross-step seed
-            # (warm0) the first substep warm-starts too
-            warm = warm_iters > 0 and (s > 0 or warm0)
             gv_new, pcp_new, lam = pc.contact_core(
-                J, W, Minv, pcp, gv_free, rh, mu, e, vlim,
+                J_, W_, Minv_, pcp, gv_free, rh, mu, e, vlim,
                 num_iters=warm_iters if warm else num_iters,
                 relaxation=relaxation, dt=dt,
                 baumgarte=baumgarte, slop=slop, max_depen=max_depen,
@@ -251,7 +315,7 @@ def _megastep_kernel(*refs,
         else:
             gv_new = gv_free
             pcp_new = pcp
-            lam = jnp.zeros((P, 3, B), f32)
+            lam = jnp.zeros((P, 3) + bt, f32)
         pcp_prev = pcp
         pcp = pcp_new
 
@@ -263,6 +327,45 @@ def _megastep_kernel(*refs,
         pos = pos + dt * lin
         quat = _quat_integrate(quat, ang, dt)
         q = q + dt * qd
+        return q, qd, pos, quat, lin, ang, pcp, pcp_prev, lam, tau_m, hist
+
+    hist0 = (el, ell, vl, vll) if has_hist else ()
+    if exact:
+        # s-independent body (no warm start in exact mode) -> run the
+        # substeps as an in-kernel fori_loop: the Mosaic program contains
+        # ONE substep (incl. the cache-rebuild chain) instead of D copies
+        # — unrolling made the remote compile pathologically slow
+        def loop_body(si, carry):
+            q, qd, pos, quat, lin, ang, pcp, pcp_prev, lam, tau_m, hist = \
+                carry
+            # Mosaic has no dynamic_slice: select the substep's target
+            # row with a static one-hot sum over the D rows (D is 4)
+            tgt_s = jnp.zeros((nj,) + bt, f32)
+            for k in range(D):
+                sel = (si == k).astype(f32)
+                tgt_s = tgt_s + sel * tgt[k]
+            return run_substep(tgt_s, q, qd, pos, quat, lin, ang, pcp,
+                               pcp_prev, lam, tau_m, hist, warm=False)
+
+        (q, qd, pos, quat, lin, ang, pcp, pcp_prev, lam, tau_m,
+         hist0) = jax.lax.fori_loop(
+            0, D, loop_body,
+            (q, qd, pos, quat, lin, ang, pcp, pcp_prev, lam, tau_m,
+             hist0))
+    else:
+        for si in range(D):
+            # warm start: substeps after the first seed the iteration
+            # with the previous substep's converged impulses
+            # (PhysX-style) and run the shorter warm iteration count;
+            # with a cross-step seed (warm0) the first substep
+            # warm-starts too
+            warm = warm_iters > 0 and (si > 0 or warm0)
+            (q, qd, pos, quat, lin, ang, pcp, pcp_prev, lam, tau_m,
+             hist0) = run_substep(tgt[si], q, qd, pos, quat, lin, ang,
+                                  pcp, pcp_prev, lam, tau_m, hist0,
+                                  warm=warm)
+    if has_hist:
+        el, ell, vl, vll = hist0
 
     results = [q, qd, pos, quat, lin, ang, pcp, pcp_prev, lam, tau_m]
     if control_type != "P":
@@ -292,7 +395,8 @@ def control_step_pallas(em, rh_t, mu_t, e_t, g_t, n_t,
                         max_base_ang_vel: float, max_base_lin_vel: float,
                         decimation: int,
                         block: int = 256, interpret: bool = False,
-                        eps: float = 1e-6):
+                        eps: float = 1e-6,
+                        exact_inputs=None):
     """One whole control step (`decimation` physics substeps), env-minor.
 
     `em` is the physics/envminor.EnvMinorCache for the entry state;
@@ -303,13 +407,21 @@ def control_step_pallas(em, rh_t, mu_t, e_t, g_t, n_t,
     actuator network.  `vlim`/`tlim`/`qlo`/`qhi` are (rows, 1) per-dof
     bound columns.
 
+    `exact_inputs`: None for reuse mode (cache from `em`, anchored at the
+    entry state), or (payload_t (1, Npad), comdisp_t (3, Npad)) for EXACT
+    mode — the kernel rebuilds the whole cache (FK/CRBA/M^-1/J/W) from
+    the current state before every substep (flat ground only; `em` is
+    ignored and may be None).
+
     Returns (q, qd, pos, quat, lin, ang, pcp, pcp_prev, lam, tau_last
     [, el, ell, vl, vll]) — all env-minor."""
     nv = model.nv
     nb = model.nb
     nj = nv - 6
-    P = em.p_cp_t.shape[0]
+    P = model.cp_body.shape[0]
+    bt = q_t.shape[1:]    # (Npad,) or, exact mode, (8, Npad // 8)
     Npad = q_t.shape[-1]
+    exact = exact_inputs is not None
     grid = (Npad // block,)
     f32 = q_t.dtype
 
@@ -317,12 +429,21 @@ def control_step_pallas(em, rh_t, mu_t, e_t, g_t, n_t,
     anc_p = anc[:, np.asarray(model.cp_body)].T             # (P, nv)
     groups = tuple(pc.point_dof_groups(anc_p))
     anc_pn = jnp.asarray(anc_p, dtype=f32)
+    if exact:
+        # pre-shape the mask for 4-D broadcasting (see cache_core)
+        anc_pn = anc_pn[:, :, None, None]
     flat = n_t is None
 
-    inputs = [anc_pn, em.Sw_t, em.Sv_t, em.A_t, em.B_t, em.m_t, em.Minv_t,
-              em.p_cp_t, rh_t, mu_t, e_t, g_t]
-    specs = [_const_spec((P, nv))] + [
-        _spec(x.shape, block) for x in inputs[1:]]
+    if exact:
+        assert flat, "exact megastep is flat-ground only"
+        payload_t, comdisp_t = exact_inputs
+        inputs = [anc_pn, payload_t, comdisp_t, rh_t, mu_t, e_t, g_t]
+        specs = [_const_spec((P, nv, 1, 1))]
+    else:
+        inputs = [anc_pn, em.Sw_t, em.Sv_t, em.A_t, em.B_t, em.m_t,
+                  em.Minv_t, em.p_cp_t, rh_t, mu_t, e_t, g_t]
+        specs = [_const_spec((P, nv))]
+    specs += [_spec(x.shape, block) for x in inputs[1:]]
     if not flat:
         inputs.append(n_t)
         specs.append(_spec(n_t.shape, block))
@@ -349,9 +470,9 @@ def control_step_pallas(em, rh_t, mu_t, e_t, g_t, n_t,
     inputs += [vlim, tlim, qlo, qhi]
     specs += [_const_spec(x.shape) for x in (vlim, tlim, qlo, qhi)]
 
-    out_shapes = [(nj, Npad), (nj, Npad), (3, Npad), (4, Npad), (3, Npad),
-                  (3, Npad), (P, 3, Npad), (P, 3, Npad), (P, 3, Npad),
-                  (nj, Npad)] + [(nj, Npad)] * n_hist
+    out_shapes = [(nj,) + bt, (nj,) + bt, (3,) + bt, (4,) + bt,
+                  (3,) + bt, (3,) + bt, (P, 3) + bt, (P, 3) + bt,
+                  (P, 3) + bt, (nj,) + bt] + [(nj,) + bt] * n_hist
     kernel = functools.partial(
         _megastep_kernel, anc=anc, joint_body=np.asarray(model.joint_body),
         groups=groups, nb=nb, nj=nj, nv=nv, P=P, D=decimation, dt=dt,
@@ -361,7 +482,16 @@ def control_step_pallas(em, rh_t, mu_t, e_t, g_t, n_t,
         contact=contact, flat=flat, control_type=control_type,
         limit_stiffness=limit_stiffness, limit_damping=limit_damping,
         max_base_ang_vel=max_base_ang_vel,
-        max_base_lin_vel=max_base_lin_vel, eps=eps)
+        max_base_lin_vel=max_base_lin_vel, eps=eps,
+        exact=exact, model=model if exact else None)
+    compiler_params = None
+    if exact:
+        # the exact-mode substep body holds the whole in-kernel cache
+        # rebuild's temporaries on the scoped-vmem stack; the 16 MB
+        # default limit is far below the v5e's 128 MB VMEM — raise it
+        # (measured: ~107 MB at block=1024, ~53 MB at 512)
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -369,4 +499,5 @@ def control_step_pallas(em, rh_t, mu_t, e_t, g_t, n_t,
         out_specs=tuple(_spec(s, block) for s in out_shapes),
         out_shape=tuple(jax.ShapeDtypeStruct(s, f32) for s in out_shapes),
         interpret=interpret,
+        compiler_params=compiler_params,
     )(*inputs)

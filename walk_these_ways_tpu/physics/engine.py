@@ -857,6 +857,9 @@ def physics_substep_cached(
 # 128-env blocks for the mega-kernel: its working set (double-buffered
 # cache inputs + in-VMEM J build) exceeds the 16 MB scoped-vmem limit at 256
 MEGASTEP_BLOCK = 128
+# exact mode uses a wider block so the in-kernel cache-rebuild chain's
+# (8, block/8)-reshaped scalar ops are full (8, 128) VPU tiles
+EXACT_MEGASTEP_BLOCK = 1024
 
 
 def control_step_megakernel(
@@ -873,12 +876,17 @@ def control_step_megakernel(
                                    #  (el, ell, vl, vll) each (N, 12))
     decimation: int,
     lam_in_t=None,                 # (P, 3, Npad) cross-step warm seed
+    exact: bool = False,
 ):
     """One whole control step through the Pallas mega-kernel
     (ops/pallas_megastep.py): `decimation` substeps of torque model +
     cached dynamics + contact + integration in a single launch, with the
     J/W cache built in-kernel.  Reuse-mode semantics (cache anchored at
-    the entry state, contact points advanced at velocity level).
+    the entry state, contact points advanced at velocity level) — or,
+    with `exact=True`, EXACT per-substep semantics: the kernel rebuilds
+    the full cache (FK/twists/inertia/CRBA/M^-1/J/W) from the current
+    state before every substep, in VMEM (flat ground only; contact
+    always cold-starts, matching engine.physics_substep).
 
     Returns (new_state, lam_t, pcp_t, pcp_prev_t, torques (N, 12),
     hist (dict of (N, 12) actuator histories, empty for P control))."""
@@ -886,11 +894,31 @@ def control_step_megakernel(
     from ..ops import pallas_megastep as pm
     f32 = state.base_pos.dtype
     N = state.base_pos.shape[0]
-    block = MEGASTEP_BLOCK
+    block = EXACT_MEGASTEP_BLOCK if exact else MEGASTEP_BLOCK
     interpret = jax.default_backend() != "tpu"
 
-    em, rh_t, mu_t, e_t, g_t, n_t = build_pallas_env_inputs(
-        model, state, dyn, terrain, block)
+    if exact:
+        # no host-side cache: the kernel rebuilds it per substep.  Flat
+        # ground only (heightfield exact falls back to the per-substep
+        # scan in envs/go1_env.py).  The env batch is pre-split to
+        # (..., 8, block // 8) HOST-side so every "scalar" op of the
+        # in-kernel rebuild chain is a full-height VPU tile (Mosaic
+        # cannot lower the sublane<->lane cast in-kernel).
+        assert terrain is None or terrain.height.shape == (2, 2)
+        em, n_t = None, None
+        Npad = -(-N // block) * block
+        P_ = model.cp_body.shape[0]
+        radius = jnp.asarray(model.cp_radius, dtype=f32)
+        rh_t = jnp.broadcast_to(radius[:, None], (P_, Npad))
+        mu_t = pc.to_env_minor(0.5 * (dyn.friction[:, None] + 1.0), block)
+        e_t = pc.to_env_minor(dyn.restitution[:, None], block)
+        g_t = pc.to_env_minor(dyn.gravity, block)
+        exact_inputs = (pc.to_env_minor(dyn.payload[:, None], block),
+                        pc.to_env_minor(dyn.com_displacement, block))
+    else:
+        em, rh_t, mu_t, e_t, g_t, n_t = build_pallas_env_inputs(
+            model, state, dyn, terrain, block)
+        exact_inputs = None
     q_t = pc.to_env_minor(state.q, block)
     qd_t = pc.to_env_minor(state.qd, block)
     pos_t = pc.to_env_minor(state.base_pos, block)
@@ -917,6 +945,26 @@ def control_step_megakernel(
     qlo = jnp.asarray(model.dof_lower, dtype=f32)[:, None]
     qhi = jnp.asarray(model.dof_upper, dtype=f32)[:, None]
 
+    if exact:
+        # host-side sublane split (see the exact branch above): batch
+        # axis (..., Npad) -> (..., 8, Npad // 8); XLA does the relayout
+        # outside the kernel, which Mosaic cannot express inside it
+        def _sub(x):
+            return x.reshape(x.shape[:-1] + (8, x.shape[-1] // 8))
+
+        rh_t, mu_t, e_t, g_t = map(_sub, (rh_t, mu_t, e_t, g_t))
+        exact_inputs = tuple(map(_sub, exact_inputs))
+        q_t, qd_t, pos_t, quat_t, lin_t, ang_t, tgt_t, strengths_t = map(
+            _sub, (q_t, qd_t, pos_t, quat_t, lin_t, ang_t, tgt_t,
+                   strengths_t))
+        if ctrl[0] == "P":
+            ctrl_inputs = tuple(map(_sub, ctrl_inputs))
+        else:
+            ctrl_inputs = ctrl_inputs[:6] + tuple(
+                map(_sub, ctrl_inputs[6:]))
+        vlim, tlim, qlo, qhi = (x[..., None] for x in
+                                (vlim, tlim, qlo, qhi))
+
     outs = pm.control_step_pallas(
         em, rh_t, mu_t, e_t, g_t, n_t,
         q_t, qd_t, pos_t, quat_t, lin_t, ang_t,
@@ -925,7 +973,7 @@ def control_step_megakernel(
         model=model, control_type=ctrl[0],
         dt=params.dt, num_iters=params.num_contact_iters,
         warm_iters=(params.num_contact_iters_warm
-                    if params.contact_warm_start else 0),
+                    if params.contact_warm_start and not exact else 0),
         relaxation=params.relaxation, baumgarte=params.contact_baumgarte,
         slop=params.contact_slop,
         max_depen=params.max_depenetration_velocity,
@@ -935,7 +983,14 @@ def control_step_megakernel(
         limit_damping=params.joint_limit_damping,
         max_base_ang_vel=params.max_base_ang_vel,
         max_base_lin_vel=params.max_base_lin_vel,
-        decimation=decimation, block=block, interpret=interpret)
+        decimation=decimation,
+        block=block // 8 if exact else block, interpret=interpret,
+        exact_inputs=exact_inputs)
+    if exact:
+        # merge the sublane split back to (..., Npad) for the env layer
+        outs = tuple(
+            x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+            for x in outs)
     (q_o, qd_o, pos_o, quat_o, lin_o, ang_o, pcp_t, pcp_prev_t, lam_t,
      tau_o) = outs[:10]
     new_state = PhysicsState(

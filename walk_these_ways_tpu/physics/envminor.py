@@ -223,20 +223,19 @@ def _pad_stack(rows, Npad):
     return x
 
 
-def build_cache_envminor(model, state, dyn, block: int) -> EnvMinorCache:
-    """Env-minor equivalent of engine.build_dynamics_cache's FK + twist +
-    inertia + CRBA + M^-1 chain (engine.py:556-612); reference point =
-    base position."""
-    f32 = state.base_pos.dtype
-    N = state.base_pos.shape[0]
-    Npad = ((N + block - 1) // block) * block
-    nb, nj, nv = model.nb, model.nj, model.nv
-    zero = jnp.zeros((N,), f32)
+def cache_columns(model, q_cols, base_quat_cols, ref, payload,
+                  com_disp_cols):
+    """Scalar-per-env cache build on column leaves of ANY shape: rank-1
+    (N,) arrays in the XLA path below, or (1, B) VMEM rows when called
+    from inside the exact-mode Pallas mega-kernel
+    (ops/pallas_megastep.py) — every operation is elementwise or a
+    static-topology unroll, so the leaf shape is opaque.
 
-    q_cols = [state.q[:, j] for j in range(nj)]
-    base_R = _quat_rotmat_cols(state.base_quat[:, 0], state.base_quat[:, 1],
-                               state.base_quat[:, 2], state.base_quat[:, 3])
-    ref = [state.base_pos[:, i] for i in range(3)]
+    Returns nested-list quantities (Sw, Sv, Minv, A_blk, B_blk, m,
+    r_cp, p_cp) with leaves shaped like the inputs."""
+    nb, nj, nv = model.nb, model.nj, model.nv
+    zero = jnp.zeros_like(ref[0])
+    base_R = _quat_rotmat_cols(*base_quat_cols)
     R, p, axis_w, anchor_w = _fk_scalar(model, q_cols, base_R, ref)
 
     # twist bases (engine.joint_twists)
@@ -251,12 +250,11 @@ def build_cache_envminor(model, state, dyn, block: int) -> EnvMinorCache:
 
     # spatial inertia blocks (engine.inertia_blocks)
     m = [float(model.mass[b]) + zero for b in range(nb)]
-    m[0] = m[0] + dyn.payload
+    m[0] = m[0] + payload
     com = [_v_add(p[b], _m_vec(R[b], [float(x) + zero
                                       for x in model.com[b]]))
            for b in range(nb)]
-    com[0] = _v_add(com[0], _m_vec(R[0], [dyn.com_displacement[:, i]
-                                          for i in range(3)]))
+    com[0] = _v_add(com[0], _m_vec(R[0], com_disp_cols))
     scale0 = m[0] / float(model.mass[0])
     A_blk, B_blk = [], []
     for b in range(nb):
@@ -328,6 +326,25 @@ def build_cache_envminor(model, state, dyn, block: int) -> EnvMinorCache:
         pos = _v_add(p[b], _m_vec(R[b], off))
         p_cp.append(pos)
         r_cp.append(_v_sub(pos, ref))
+
+    return Sw, Sv, Minv, A_blk, B_blk, m, r_cp, p_cp
+
+
+def build_cache_envminor(model, state, dyn, block: int) -> EnvMinorCache:
+    """Env-minor equivalent of engine.build_dynamics_cache's FK + twist +
+    inertia + CRBA + M^-1 chain (engine.py:556-612); reference point =
+    base position."""
+    f32 = state.base_pos.dtype
+    N = state.base_pos.shape[0]
+    Npad = ((N + block - 1) // block) * block
+    nb, nj, nv = model.nb, model.nj, model.nv
+
+    q_cols = [state.q[:, j] for j in range(nj)]
+    quat_cols = [state.base_quat[:, i] for i in range(4)]
+    ref = [state.base_pos[:, i] for i in range(3)]
+    com_disp_cols = [dyn.com_displacement[:, i] for i in range(3)]
+    Sw, Sv, Minv, A_blk, B_blk, m, r_cp, p_cp = cache_columns(
+        model, q_cols, quat_cols, ref, dyn.payload, com_disp_cols)
 
     return EnvMinorCache(
         Sw_t=_pad_stack(Sw, Npad).astype(f32),
