@@ -47,6 +47,8 @@ def _clear_jax_caches_between_modules():
 _HEAVY_MODULES = {
     "test_pallas_contact", "test_pallas_dynamics", "test_pallas_megastep",
     "test_warm_start",
+    # spawns 2 OS processes that each compile the sharded train program
+    "test_multihost",
 }
 
 
@@ -54,3 +56,16 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.module.__name__ in _HEAVY_MODULES:
             item.add_marker(pytest.mark.heavy)
+
+
+def xla_physics(cfg):
+    """Flip a Cfg to the plain XLA physics path (no Pallas kernels).
+
+    Used by the FAST tier's env/ppo fixtures: on CPU the Pallas paths
+    run in interpret mode, whose compiles take minutes per program and
+    dominate a cold fast-tier run.  Env/learn semantics are backend-
+    independent; the Pallas paths keep their own parity + golden
+    coverage in the heavy tier."""
+    import dataclasses
+    return dataclasses.replace(cfg, sim=dataclasses.replace(
+        cfg.sim, use_pallas_contact=False, megastep=False))

@@ -6,11 +6,12 @@ import pytest
 
 from walk_these_ways_tpu.go1_config import mob_train_cfg, small_train_cfg
 from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+from conftest import xla_physics
 
 
 @pytest.fixture(scope="module")
 def env_and_state():
-    cfg = mob_train_cfg(num_envs=4)
+    cfg = xla_physics(mob_train_cfg(num_envs=4))
     env = LeggedRobotEnv(cfg)
     state, obs = env.reset(jax.random.PRNGKey(0))
     return env, state, obs
@@ -50,7 +51,7 @@ def test_gait_clock_trot_phase_opposition():
     """For a trot command (phase 0.5, offset/bound 0) diagonal feet share
     the clock: FL==RR, FR==RL, opposite pairs (legged_robot.py:826-861)."""
     cfg = mob_train_cfg(num_envs=2)
-    env = LeggedRobotEnv(cfg)
+    env = LeggedRobotEnv(xla_physics(cfg))
     state, obs = env.reset(jax.random.PRNGKey(0))
     cmd = np.zeros((2, 15), np.float32)
     cmd[:, 4] = 3.0   # freq
@@ -75,7 +76,7 @@ def test_auto_reset_on_fall():
     legged_robot.py:141-142 / terminal body height, train.py:110-111) and
     auto-reset with episode_length back to 0."""
     cfg = mob_train_cfg(num_envs=2)
-    env = LeggedRobotEnv(cfg)
+    env = LeggedRobotEnv(xla_physics(cfg))
     state, obs = env.reset(jax.random.PRNGKey(0))
     flipped = state.phys._replace(
         base_pos=state.phys.base_pos.at[:, 2].set(0.08),
@@ -97,7 +98,7 @@ def test_auto_reset_on_fall():
 
 def test_episode_timeout():
     cfg = small_train_cfg(num_envs=2)
-    env = LeggedRobotEnv(cfg)
+    env = LeggedRobotEnv(xla_physics(cfg))
     state, obs = env.reset(jax.random.PRNGKey(0))
     state = state._replace(
         episode_length=jnp.full((2,), env.max_episode_length, jnp.int32))
@@ -111,7 +112,7 @@ def test_rewards_finite_and_ji22_nonnegative():
     """only_positive_rewards_ji22_style: total = pos * exp(neg/sigma) >= 0
     (legged_robot.py:286-287)."""
     cfg = mob_train_cfg(num_envs=4)
-    env = LeggedRobotEnv(cfg)
+    env = LeggedRobotEnv(xla_physics(cfg))
     state, obs = env.reset(jax.random.PRNGKey(2))
     step = jax.jit(env.step)
     rng = jax.random.PRNGKey(3)
@@ -126,7 +127,7 @@ def test_rewards_finite_and_ji22_nonnegative():
 
 def test_determinism_same_seed():
     cfg = small_train_cfg(num_envs=4)
-    env = LeggedRobotEnv(cfg)
+    env = LeggedRobotEnv(xla_physics(cfg))
 
     def rollout(seed):
         state, obs = env.reset(jax.random.PRNGKey(seed))
@@ -225,7 +226,7 @@ def test_eval_split_commands_and_terrain_divergence():
     ev = dc.replace(ev, terrain=dc.replace(
         ev.terrain, num_rows=2, num_cols=2, mesh_type="heightfield",
         terrain_proportions=(0.0, 1.0)))
-    env = LeggedRobotEnv(cfg, eval_cfg=ev)
+    env = LeggedRobotEnv(xla_physics(cfg), eval_cfg=xla_physics(ev))
     assert env.eval_commands_differ and env.eval_terrain_differs
     T = env.num_train_envs
     # eval spawn rows sit beyond the train block along x

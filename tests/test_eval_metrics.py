@@ -4,13 +4,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from walk_these_ways_tpu.go1_config import small_train_cfg
+from conftest import xla_physics
 from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
 from walk_these_ways_tpu.learn import eval_metrics as em
 from walk_these_ways_tpu.models import actor_critic as ac
 
 
 def test_metrics_shapes_and_finiteness():
-    cfg = small_train_cfg(num_envs=4)
+    cfg = xla_physics(small_train_cfg(num_envs=4))
     env = LeggedRobotEnv(cfg)
     state, obs = env.reset(jax.random.PRNGKey(0))
     params = ac.init(jax.random.PRNGKey(1), env.num_obs,
@@ -45,7 +46,7 @@ def test_dr_settings_complete():
 
 
 def test_evaluate_policy_runs():
-    cfg = small_train_cfg(num_envs=4)
+    cfg = xla_physics(small_train_cfg(num_envs=4))
     env = LeggedRobotEnv(cfg)
     params = ac.init(jax.random.PRNGKey(1), env.num_obs,
                      env.num_privileged_obs, env.num_obs_history,

@@ -24,24 +24,32 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 _DIR = os.path.join(os.path.dirname(__file__), "golden")
 GOLDEN_COLD = os.path.join(_DIR, "traj_64env_zero_actions.npz")
 GOLDEN_DEFAULT = os.path.join(_DIR, "traj_64env_zero_actions_default.npz")
+GOLDEN_XLA = os.path.join(_DIR, "traj_64env_zero_actions_xla.npz")
 
 
-def _rollout(default_cfg: bool):
+def _rollout(variant: str):
     from walk_these_ways_tpu.go1_config import mob_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
 
     import dataclasses
     cfg = mob_train_cfg(num_envs=64)
-    if not default_cfg:
-        # pin the cold-start contact solver: this variant guards the core
-        # solver independent of warm-start seeding
+    if variant != "default":
+        # pin the cold-start contact solver: these variants guard the
+        # core solver independent of warm-start seeding
         cfg = dataclasses.replace(cfg, sim=dataclasses.replace(
             cfg.sim, contact_warm_start=False,
             contact_cross_step_warm_start=False))
+    if variant == "xla":
+        # plain XLA engine path: seconds to compile on CPU — the FAST
+        # tier's trajectory guard (the Pallas variants below compile for
+        # minutes in interpret mode and run in the heavy tier)
+        cfg = dataclasses.replace(cfg, sim=dataclasses.replace(
+            cfg.sim, use_pallas_contact=False, megastep=False))
     env = LeggedRobotEnv(cfg)
     state, obs = env.reset(jax.random.PRNGKey(1234))
     step = jax.jit(env.step)
@@ -56,9 +64,9 @@ def _rollout(default_cfg: bool):
     return np.stack(snap_pos), np.stack(snap_q), np.stack(snap_rew)
 
 
-def _check(golden_path, default_cfg):
+def _check(golden_path, variant):
     z = np.load(golden_path)
-    pos, q, rew = _rollout(default_cfg)
+    pos, q, rew = _rollout(variant)
     # Tiered tolerances.  The test harness pins the CPU backend (conftest),
     # where the rollout is currently bit-exact vs the golden file; the
     # early-snapshot tier is tight enough to catch any real physics drift,
@@ -74,18 +82,26 @@ def _check(golden_path, default_cfg):
     np.testing.assert_allclose(rew[late], z["rew"][late], atol=1e-3)
 
 
+def test_matches_golden_trajectory_xla():
+    _check(GOLDEN_XLA, "xla")
+
+
+@pytest.mark.heavy
 def test_matches_golden_trajectory():
-    _check(GOLDEN_COLD, default_cfg=False)
+    _check(GOLDEN_COLD, "cold")
 
 
+@pytest.mark.heavy
 def test_matches_golden_trajectory_default_config():
-    _check(GOLDEN_DEFAULT, default_cfg=True)
+    _check(GOLDEN_DEFAULT, "default")
 
 
 if __name__ == "__main__":
     import sys
     if "--regen" in sys.argv:
-        for path, dflt in ((GOLDEN_COLD, False), (GOLDEN_DEFAULT, True)):
-            pos, q, rew = _rollout(dflt)
+        for path, variant in ((GOLDEN_COLD, "cold"),
+                              (GOLDEN_DEFAULT, "default"),
+                              (GOLDEN_XLA, "xla")):
+            pos, q, rew = _rollout(variant)
             np.savez_compressed(path, base_pos=pos, q=q, rew=rew)
             print("regenerated", path)

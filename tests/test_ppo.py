@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from conftest import xla_physics
+
 from walk_these_ways_tpu.models import actor_critic as ac
 from walk_these_ways_tpu.learn import ppo as ppo_mod
 
@@ -98,7 +100,7 @@ def test_train_iteration_and_checkpoint(tmp_path):
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.utils import checkpoint as ckpt
 
-    cfg = small_train_cfg(num_envs=8)
+    cfg = xla_physics(small_train_cfg(num_envs=8))
     env = LeggedRobotEnv(cfg)
     ts = ppo_mod.init_train_state(jax.random.PRNGKey(0), env)
     es, obs = env.reset(jax.random.PRNGKey(1))
@@ -123,7 +125,7 @@ def test_rma_variant_train_iteration():
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn import ppo_rma
 
-    cfg = small_train_cfg(num_envs=8)
+    cfg = xla_physics(small_train_cfg(num_envs=8))
     env = LeggedRobotEnv(cfg)
     ts = ppo_rma.init_train_state(jax.random.PRNGKey(0), env)
     es, obs = env.reset(jax.random.PRNGKey(1))
@@ -142,7 +144,7 @@ def test_rma_runner_and_export(tmp_path):
     from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
     from walk_these_ways_tpu.deploy.deploy_policy import load_student_policy
 
-    cfg = small_train_cfg(num_envs=8)
+    cfg = xla_physics(small_train_cfg(num_envs=8))
     env = LeggedRobotEnv(cfg)
     runner = Runner(env, log_dir=str(tmp_path), seed=0,
                     args=RunnerArgs(num_steps_per_env=8, log_freq=1,
@@ -173,7 +175,7 @@ def test_runner_curriculum_dump(tmp_path):
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
 
-    cfg = small_train_cfg(num_envs=8)
+    cfg = xla_physics(small_train_cfg(num_envs=8))
     env = LeggedRobotEnv(cfg)
     runner = Runner(env, log_dir=str(tmp_path),
                     args=RunnerArgs(num_steps_per_env=4, max_iterations=2,
@@ -200,9 +202,9 @@ def test_train_eval_env_split():
     from walk_these_ways_tpu.go1_config import small_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
 
-    cfg = small_train_cfg(num_envs=8)
+    cfg = xla_physics(small_train_cfg(num_envs=8))
     eval_cfg = dataclasses.replace(
-        small_train_cfg(num_envs=4),
+        xla_physics(small_train_cfg(num_envs=4)),
         domain_rand=dataclasses.replace(
             cfg.domain_rand, randomize_friction=True,
             friction_range=(3.0, 3.5)))
@@ -245,7 +247,7 @@ def test_runner_log_keys_and_video(tmp_path):
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
 
-    cfg = small_train_cfg(num_envs=8)
+    cfg = xla_physics(small_train_cfg(num_envs=8))
     env = LeggedRobotEnv(cfg)
     runner = Runner(env, log_dir=str(tmp_path),
                     args=RunnerArgs(num_steps_per_env=4, max_iterations=2,

@@ -38,6 +38,7 @@ def _env_and_states(cfg_fn=small_train_cfg):
     return env, state, obs
 
 
+@pytest.mark.heavy
 def test_sharded_step_matches_single_device():
     env, state, obs = _env_and_states()
     actions = jnp.asarray(
@@ -63,6 +64,7 @@ def test_sharded_step_matches_single_device():
     assert not s2.phys.base_pos.sharding.is_fully_replicated
 
 
+@pytest.mark.heavy
 def test_sharded_train_iteration_matches_single_device():
     env, state, obs = _env_and_states()
     ts = ppo_mod.init_train_state(jax.random.PRNGKey(1), env)
@@ -94,6 +96,7 @@ def test_sharded_train_iteration_matches_single_device():
                                np.asarray(s1.curriculum.weights), atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_full_config_pallas_step_on_mesh():
     """The flagship MoB config (Pallas contact pipeline) must execute on
     the mesh (interpret mode on CPU)."""
@@ -137,6 +140,7 @@ def test_scaling_dryrun_8dev():
           f"(virtual CPU mesh)")
 
 
+@pytest.mark.heavy
 def test_runner_with_mesh(tmp_path):
     """The Runner(mesh=...) path used by scripts/train.py --mesh: env
     state sharded on the env axis, learner replicated, full learn() loop

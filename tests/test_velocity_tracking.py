@@ -11,6 +11,7 @@ import numpy as np
 
 from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
 from walk_these_ways_tpu.go1_config import mob_train_cfg
+from conftest import xla_physics
 from walk_these_ways_tpu.ops import quat as qops
 from walk_these_ways_tpu.velocity_tracking import VelocityTrackingEasyEnv
 
@@ -23,7 +24,8 @@ REFERENCE_KEYS = {
 
 
 def _env(n=4):
-    return VelocityTrackingEasyEnv(LeggedRobotEnv(mob_train_cfg(num_envs=n)))
+    return VelocityTrackingEasyEnv(
+        LeggedRobotEnv(xla_physics(mob_train_cfg(num_envs=n))))
 
 
 def test_step_returns_reference_extras():
