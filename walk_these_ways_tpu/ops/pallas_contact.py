@@ -86,7 +86,6 @@ def cache_core(anc, Sw, Sv, Minv, r, *, eps: float):
     (ops/pallas_megastep.py).  Returns (J (P, 3, nv, B), W9 (P, 9, B))."""
     P = r.shape[0]
     nv = Sw.shape[0]
-    B = Sw.shape[-1]
 
     # J[p, i, v, b] = anc[p, v] * (Sv[v, i, b] + (Sw[v] x r[p])[i, b])
     # NOTE basic slices only, expand_dims after — mixing None with integer
