@@ -443,6 +443,42 @@ def run_go1_replay(out):
             joint_rmse=float(np.sqrt(((q_o - q_m) ** 2).mean())),
             joint_max=float(np.abs(q_o - q_m).max()))
         res["modes"][mode] = m
+    # -- chaos floor (round-4 verdict item 3a): how far does MuJoCo
+    # diverge from ITSELF over this horizon under the same 50 Hz hold,
+    # when (a) the initial joint velocities are perturbed by 1e-6, and
+    # (b) the micro-timestep is halved?  Contact-rich closed-loop
+    # dynamics are chaotic, so this intra-oracle spread is the floor
+    # below which cross-engine divergence is indistinguishable from
+    # numerical noise — the exact50/reuse numbers above must be read
+    # against it, not against zero.
+    def _mj_pair_metrics(a, b):
+        pos_a = np.array([r[0] for r in a]); pos_b = np.array([r[0] for r in b])
+        qu_a = np.array([r[1] for r in a]); qu_b = np.array([r[1] for r in b])
+        q_a = np.array([r[4] for r in a]); q_b = np.array([r[4] for r in b])
+        n = min(len(a), len(b))
+        return dict(
+            base_pos_rmse=float(np.sqrt(((pos_a[:n] - pos_b[:n]) ** 2).mean())),
+            base_z_rmse=float(np.sqrt(
+                ((pos_a[:n, 2] - pos_b[:n, 2]) ** 2).mean())),
+            base_z_max=float(np.abs(pos_a[:n, 2] - pos_b[:n, 2]).max()),
+            tilt_diff_max_deg=float(
+                np.abs(tilt_deg(qu_a[:n]) - tilt_deg(qu_b[:n])).max()),
+            joint_rmse=float(np.sqrt(((q_a[:n] - q_b[:n]) ** 2).mean())),
+            joint_max=float(np.abs(q_a[:n] - q_b[:n]).max()))
+
+    mj_ref = _mj_sim(xml, st0, tau_mj, STEPS, DT, hold=4)
+    st0_pert = (st0[0], st0[1], st0[2], st0[3], st0[4],
+                st0[5] + 1e-6 * np.arange(1, 13))
+    mj_pert = _mj_sim(xml, st0_pert, tau_mj, STEPS, DT, hold=4)
+    xml_half = mjcf.go1_mjcf(model, mu=1.0, timestep=MJ_DT / 2)
+    mj_half = _mj_sim(xml_half, st0, tau_mj, STEPS, DT, hold=4)
+    res["mj_selfdiv"] = dict(
+        perturb_qd_1e6=_mj_pair_metrics(mj_ref, mj_pert),
+        halved_timestep=_mj_pair_metrics(mj_ref, mj_half),
+        note="MuJoCo-vs-MuJoCo divergence under the 50 Hz hold; the "
+             "chaos floor for reading the exact50/reuse cross-engine "
+             "numbers")
+
     exact_m = res["modes"]["exact"]
     reuse_m = res["modes"]["reuse"]
     e50_m = res["modes"]["exact50"]
@@ -455,6 +491,99 @@ def run_go1_replay(out):
           and exact_m["joint_rmse"] < 0.20)
     ok &= (reuse_m["base_z_rmse"] < 2.5 * e50_m["base_z_rmse"] + 0.015
            and reuse_m["joint_rmse"] < 2.5 * e50_m["joint_rmse"] + 0.03)
+    _report(out, res, ok)
+    return ok
+
+
+def run_go1_replay_actuator(out):
+    """Closed-loop replay through the LEARNED MOTOR MODEL (round-4 verdict
+    item 3b): both engines run the same joint-target dance, but torques
+    come from the converted reference actuator network fed through the
+    6-control-step lag buffer — the shipping MoB torque path (reference
+    legged_robot.py:907-918 lag shift, :930-938 net eval, play config
+    lag_timesteps=6) — instead of plain PD.  This checks cross-engine
+    agreement exactly where sim-to-real fidelity lives: the learned
+    torque law's interaction with contact.  Each engine keeps its OWN
+    error/velocity histories (the net is stateful), evaluated per 5 ms
+    substep like the env does.
+    """
+    from walk_these_ways_tpu.models import mjcf
+    from walk_these_ways_tpu.physics import engine as E
+
+    DT, STEPS, LAG = 0.005, 400, 6
+    model, dyn, state, ddp = _go1_init()
+    lim = np.asarray(model.dof_effort)
+    amp = np.array([0.06, 0.15, 0.15] * 4)
+    phases = np.arange(12) * 0.7
+
+    def target(t):
+        return ddp + amp * np.sin(2 * np.pi * 1.0 * t * DT + phases)
+
+    # numpy forward of the converted net (models/actuator_net.py apply)
+    z = np.load(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "resources", "actuator_nets",
+        "unitree_go1.npz"))
+    w0, b0, w1, b1, w2, b2 = (z[k] for k in ("w0", "b0", "w1", "b1",
+                                             "w2", "b2"))
+
+    def net(x):  # (12, 6) -> (12,)
+        s = lambda v: v / (1.0 + np.abs(v))
+        h = s(x @ w0.T + b0)
+        h = s(h @ w1.T + b1)
+        return (h @ w2.T + b2)[:, 0]
+
+    def make_law(get_qqd):
+        """Stateful torque law: 50 Hz target through a LAG-deep buffer,
+        per-substep net eval with 2-deep error/velocity histories."""
+        st = dict(lag=[ddp.copy()] * (LAG + 1),
+                  el=np.zeros(12), ell=np.zeros(12),
+                  vl=np.zeros(12), vll=np.zeros(12))
+
+        def law(t, engine_state):
+            q, qd = get_qqd(engine_state)
+            if t % 4 == 0:
+                st["lag"] = st["lag"][1:] + [target(t)]
+            err = q - st["lag"][0]
+            x = np.stack([err, st["el"], st["ell"],
+                          qd, st["vl"], st["vll"]], axis=-1)
+            tau = np.clip(net(x), -lim, lim)
+            st["ell"], st["el"] = st["el"], err
+            st["vll"], st["vl"] = st["vl"], qd
+            return tau[None]
+        return law
+
+    params = E.SimParams(dt=DT, use_pallas_contact=False)
+    law_ours = make_law(lambda s: (np.asarray(s.q[0]), np.asarray(s.qd[0])))
+    _, ours = _engine_sim(model, params, state, law_ours, dyn, STEPS, DT)
+
+    xml = mjcf.go1_mjcf(model, mu=1.0, timestep=MJ_DT)
+    st0 = (np.array([0.0, 0.0, 0.32]), np.array([0.0, 0.0, 0.0, 1.0]),
+           np.zeros(3), np.zeros(3), ddp.copy(), np.zeros(12))
+    law_mj = make_law(lambda s: (s[4], s[5]))
+    mj = _mj_sim(xml, st0, law_mj, STEPS, DT, hold=1)
+
+    def tilt_deg(quat):
+        x, y, zc, w = quat.T
+        cz = 1.0 - 2.0 * (x * x + y * y)
+        return np.rad2deg(np.arccos(np.clip(cz, -1.0, 1.0)))
+
+    pos_o = np.array([r[0] for r in ours]); pos_m = np.array([r[0] for r in mj])
+    qu_o = np.array([r[1] for r in ours]); qu_m = np.array([r[1] for r in mj])
+    q_o = np.array([r[4] for r in ours]); q_m = np.array([r[4] for r in mj])
+    res = dict(
+        experiment="go1-replay-actuator", horizon_s=STEPS * DT,
+        lag_control_steps=LAG,
+        base_pos_rmse=float(np.sqrt(((pos_o - pos_m) ** 2).mean())),
+        base_z_rmse=float(np.sqrt(((pos_o[:, 2] - pos_m[:, 2]) ** 2).mean())),
+        base_z_max=float(np.abs(pos_o[:, 2] - pos_m[:, 2]).max()),
+        tilt_diff_max_deg=float(
+            np.abs(tilt_deg(qu_o) - tilt_deg(qu_m)).max()),
+        joint_rmse=float(np.sqrt(((q_o - q_m) ** 2).mean())),
+        joint_max=float(np.abs(q_o - q_m).max()),
+        final_z_ours=float(pos_o[-1, 2]), final_z_mj=float(pos_m[-1, 2]))
+    # gates mirror the exact-mode PD replay's (measured values + ~2x)
+    ok = (res["base_z_rmse"] < 0.03 and res["base_z_max"] < 0.10
+          and res["tilt_diff_max_deg"] < 12.0 and res["joint_rmse"] < 0.20)
     _report(out, res, ok)
     return ok
 
@@ -476,7 +605,8 @@ def main():
     a = ap.parse_args()
     exps = dict(box_slide=run_box_slide, box_incline=run_box_incline,
                 box_rest=run_box_rest, box_bounce=run_box_bounce,
-                go1_standing=run_go1_standing, go1_replay=run_go1_replay)
+                go1_standing=run_go1_standing, go1_replay=run_go1_replay,
+                go1_replay_actuator=run_go1_replay_actuator)
     if a.only:
         exps = {a.only: exps[a.only]}
     results = {name: bool(fn(a.out)) for name, fn in exps.items()}

@@ -13,13 +13,26 @@ checks every process computed the SAME post-update parameter checksum —
 the learner state is replicated, so divergence would mean the gradient
 psum or the curriculum scatter broke across the process boundary.
 
+With --shared-resume it additionally validates the SHARED-STORAGE
+checkpoint path (utils/checkpoint.save_shared — orbax, each process
+writing its own shards): cluster A trains, commits the full train state
+to a shared directory, and runs one more iteration; a FRESH cluster B
+restores from that directory under its own mesh and runs one iteration
+— B's post-update checksum must equal A's continued one bit-exactly
+(resume is indistinguishable from never having stopped, including
+curriculum and RNG state; the analog of the reference Runner resuming
+weights + curriculum from its ml_logger server,
+go1_gym_learn/ppo_cse/__init__.py:76-91).
+
 Usage: python scripts/multihost_smoke.py [--num-processes 2] [--iters 2]
+                                         [--shared-resume]
 Exit code 0 = pass.  Runs on CPU; no TPU needed.
 """
 import argparse
 import os
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -34,7 +47,7 @@ def worker(a) -> None:
     import jax
 
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{PORT}",
+        coordinator_address=f"127.0.0.1:{a.port}",
         num_processes=a.num_processes, process_id=a.process_id)
     # the container sitecustomize force-registers the axon TPU tunnel;
     # pin back to CPU after the cluster handshake
@@ -64,40 +77,69 @@ def worker(a) -> None:
     ts = mesh_mod.replicate(ts, mesh)
 
     train_iter = jax.jit(ppo_mod.make_train_iteration(env, num_steps=4))
+
+    def checksum_of(params):
+        # replicated outputs are process-local addressable; checksum them
+        leaves = jax.tree.leaves(params)
+        return float(sum(jnp.sum(jnp.abs(x)).item() for x in leaves))
+
+    from walk_these_ways_tpu.utils import checkpoint as ckpt
+
+    if a.phase == "resume":
+        # FRESH cluster: restore the full train state from shared storage
+        # under this cluster's own mesh/shardings, then train one step
+        tree = ckpt.load_shared(a.ckpt_dir, {
+            "train_state": ts, "env_state": env_state,
+            "obs_dict": obs_dict})
+        ts, env_state, obs_dict = (tree["train_state"], tree["env_state"],
+                                   tree["obs_dict"])
+        with mesh:
+            env_state, obs_dict, ts, metrics = train_iter(
+                env_state, obs_dict, ts)
+            jax.block_until_ready(ts.params)
+        print(f"MULTIHOST proc={a.process_id}/{a.num_processes} "
+              f"devices={n_dev} value_loss={float(metrics.value_loss):.6f} "
+              f"checksum={checksum_of(ts.params):.6f}", flush=True)
+        return
+
     with mesh:
         for _ in range(a.iters):
             env_state, obs_dict, ts, metrics = train_iter(
                 env_state, obs_dict, ts)
         jax.block_until_ready(ts.params)
 
-    # replicated outputs are process-local addressable; checksum them
-    leaves = jax.tree.leaves(ts.params)
-    checksum = float(sum(jnp.sum(jnp.abs(x)).item() for x in leaves))
+    if a.phase == "save":
+        # commit the full train state to shared storage (every process
+        # writes its own shards), then continue ONE more iteration — the
+        # resume cluster must reproduce this continued checksum exactly
+        ckpt.save_shared(a.ckpt_dir, {
+            "train_state": ts, "env_state": env_state,
+            "obs_dict": obs_dict})
+        with mesh:
+            env_state, obs_dict, ts, metrics = train_iter(
+                env_state, obs_dict, ts)
+            jax.block_until_ready(ts.params)
+
     v = float(metrics.value_loss)
     assert v == v, "value_loss is NaN"
     print(f"MULTIHOST proc={a.process_id}/{a.num_processes} "
-          f"devices={n_dev} value_loss={v:.6f} checksum={checksum:.6f}",
-          flush=True)
+          f"devices={n_dev} value_loss={v:.6f} "
+          f"checksum={checksum_of(ts.params):.6f}", flush=True)
 
 
-def main() -> int:
-    p = argparse.ArgumentParser()
-    p.add_argument("--num-processes", type=int, default=2)
-    p.add_argument("--iters", type=int, default=2)
-    p.add_argument("--process-id", type=int, default=None)
-    a = p.parse_args()
-
-    if a.process_id is not None:
-        worker(a)
-        return 0
-
+def _run_cluster(a, phase, port, ckpt_dir):
+    """Spawn one jax.distributed cluster; return its checksums or None."""
     procs = []
     for i in range(a.num_processes):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--num-processes", str(a.num_processes),
+               "--iters", str(a.iters), "--process-id", str(i),
+               "--phase", phase, "--port", str(port)]
+        if ckpt_dir:
+            cmd += ["--ckpt-dir", ckpt_dir]
         procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__),
-             "--num-processes", str(a.num_processes),
-             "--iters", str(a.iters), "--process-id", str(i)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
     outs = [pr.communicate()[0] for pr in procs]
     rcs = [pr.returncode for pr in procs]
     checksums = []
@@ -108,10 +150,52 @@ def main() -> int:
         if rc != 0:
             print(f"--- proc {i} failed (rc={rc}); tail ---")
             print("\n".join(out.splitlines()[-15:]))
-            return 1
+            return None
         checksums.append(line.rsplit("checksum=", 1)[-1])
     if len(set(checksums)) != 1:
         print(f"FAIL: divergent post-update checksums: {checksums}")
+        return None
+    return checksums
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-processes", type=int, default=2)
+    p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--phase", choices=["train", "save", "resume"],
+                   default="train")
+    p.add_argument("--port", type=int, default=PORT)
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--shared-resume", action="store_true",
+                   help="validate shared-storage checkpoint/resume across "
+                        "two successive clusters")
+    a = p.parse_args()
+
+    if a.process_id is not None:
+        worker(a)
+        return 0
+
+    if a.shared_resume:
+        ckpt_dir = tempfile.mkdtemp(prefix="wtw_shared_ckpt_")
+        print(f"shared checkpoint dir: {ckpt_dir}")
+        cs_a = _run_cluster(a, "save", PORT, ckpt_dir)
+        if cs_a is None:
+            return 1
+        cs_b = _run_cluster(a, "resume", PORT + 1, ckpt_dir)
+        if cs_b is None:
+            return 1
+        if cs_a[0] != cs_b[0]:
+            print(f"FAIL: resumed cluster diverged from continued run: "
+                  f"{cs_a[0]} vs {cs_b[0]}")
+            return 1
+        print(f"multihost_smoke: OK — fresh {a.num_processes}-process "
+              f"cluster resumed from shared storage bit-exactly "
+              f"(checksum {cs_b[0]})")
+        return 0
+
+    checksums = _run_cluster(a, "train", PORT, None)
+    if checksums is None:
         return 1
     print(f"multihost_smoke: OK — {a.num_processes} processes agree "
           f"(checksum {checksums[0]})")

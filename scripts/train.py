@@ -20,7 +20,8 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
               multihost: bool = False, exact: bool = False,
               terrain: str = "flat", warm_start: bool | None = None,
               warm_iters: int | None = None, resume: str | None = None,
-              eval_dr: str | None = None, eval_terrain: str | None = None):
+              eval_dr: str | None = None, eval_terrain: str | None = None,
+              shared_ckpt: str | None = None):
     from walk_these_ways_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     from walk_these_ways_tpu.go1_config import mob_train_cfg, rough_train_cfg
@@ -91,7 +92,8 @@ def train_go1(num_envs: int, iterations: int, log_dir: str, seed: int,
                     args=RunnerArgs(max_iterations=iterations,
                                     eval_expert=eval_expert,
                                     resume=resume is not None,
-                                    resume_path=resume),
+                                    resume_path=resume,
+                                    shared_ckpt_dir=shared_ckpt),
                     algo=algo, mesh=mesh)
     runner.learn(num_learning_iterations=iterations,
                  init_at_random_ep_len=True)
@@ -143,11 +145,17 @@ def main():
                    help="give the eval slice its own terrain rows "
                         "(appended after the train rows)")
     p.add_argument("--resume", type=str, default=None, metavar="CKPT",
-                   help="checkpoint .pkl to resume from (restores train "
-                        "state incl. env/curriculum/RNG; training continues "
-                        "from the stored iteration count). Analog of the "
-                        "reference runner's resume/load_run "
+                   help="checkpoint to resume from: a .pkl file (local "
+                        "pickle) or a shared-storage directory (orbax; "
+                        "multi-host safe).  Restores the full train state "
+                        "incl. env/curriculum/RNG; training continues from "
+                        "the stored iteration count. Analog of the "
+                        "reference runner's ml_logger-server resume "
                         "(go1_gym_learn/ppo_cse/__init__.py:76-91)")
+    p.add_argument("--shared-ckpt", type=str, default=None, metavar="DIR",
+                   help="also commit the train state to this shared-storage "
+                        "directory (orbax) at every save interval, as a "
+                        "common resume point for a pod slice")
     a = p.parse_args()
     log_dir = a.log_dir or os.path.join(
         "runs", "gait-conditioned-agility",
@@ -157,7 +165,8 @@ def main():
               algo=a.algo, use_mesh=a.mesh, multihost=a.multihost,
               exact=a.exact, terrain=a.terrain, warm_start=a.warm_start,
               warm_iters=a.warm_iters, resume=a.resume,
-              eval_dr=a.eval_dr, eval_terrain=a.eval_terrain)
+              eval_dr=a.eval_dr, eval_terrain=a.eval_terrain,
+              shared_ckpt=a.shared_ckpt)
 
 
 if __name__ == "__main__":

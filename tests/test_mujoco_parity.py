@@ -15,6 +15,9 @@ import sys
 
 import pytest
 
+pytest.importorskip(
+    "mujoco", reason="mujoco is an optional [validation] extra")
+
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
 

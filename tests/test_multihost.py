@@ -24,3 +24,16 @@ def test_two_process_cluster_trains_and_agrees():
         capture_output=True, text=True, timeout=2400, cwd=REPO)
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
     assert "multihost_smoke: OK" in proc.stdout
+
+
+def test_shared_storage_checkpoint_resume_bit_exact():
+    """Cluster A commits the full train state to a shared orbax dir and
+    continues one iteration; a FRESH cluster B restores from that dir and
+    runs one iteration — the post-update checksums must match bit-exactly
+    (round-4 verdict item 6: the pod-slice shared-resume story)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multihost_smoke.py"),
+         "--num-processes", "2", "--iters", "2", "--shared-resume"],
+        capture_output=True, text=True, timeout=2400, cwd=REPO)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+    assert "resumed from shared storage bit-exactly" in proc.stdout

@@ -34,7 +34,12 @@ class RunnerArgs:
     save_interval: int = 400
     log_freq: int = 10
     resume: bool = False
+    # *.pkl = local pickle; a directory = shared-storage orbax checkpoint
     resume_path: Optional[str] = None
+    # if set, every save_interval also commits the full train state to
+    # this shared-storage directory (orbax; multi-host safe) so any host
+    # of a pod slice — or a fresh cluster — can resume from it
+    shared_ckpt_dir: Optional[str] = None
     # curriculum weight-grid + per-bin reward-mean dump cadence (reference
     # curriculum_dump_freq=500, ppo_cse/__init__.py:107,193-202)
     curriculum_dump_freq: int = 500
@@ -197,6 +202,8 @@ class Runner:
                 self.save(os.path.join(self.log_dir, "checkpoints",
                                        f"train_state_{it+1:06d}.pkl"))
                 self.export_policy(os.path.join(self.log_dir, "checkpoints"))
+                if self.args.shared_ckpt_dir:
+                    self.save(self.args.shared_ckpt_dir)
 
             if (self.args.render_interval
                     and (it + 1) % self.args.render_interval == 0):
@@ -205,14 +212,22 @@ class Runner:
         self.save(os.path.join(self.log_dir, "checkpoints",
                                "train_state_last.pkl"))
         self.export_policy(os.path.join(self.log_dir, "checkpoints"))
+        if self.args.shared_ckpt_dir:
+            self.save(self.args.shared_ckpt_dir)
         return self.train_state
 
     def _write_provenance(self, seed: int):
         """Stamp the run dir with everything needed to reproduce it: git
         SHA (+dirty flag), a stable hash of the resolved env config, the
-        resolved SimParams, runner/ppo args, argv and the jax backend.
+        resolved SimParams, runner/ppo args, argv, the jax backend, and
+        the machine-load context (loadavg + other live python processes)
+        so throughput anomalies are explicable from the artifact alone.
         Every results table cites runs; this records which code revision
-        each run actually measured."""
+        each run actually measured.
+
+        Dirty-tree runs are loudly warned about (results are then not
+        reproducible from any SHA); flagship runs should set
+        WTW_REQUIRE_CLEAN=1, which turns the warning into a hard error."""
         import hashlib
         import json
         import subprocess
@@ -232,6 +247,38 @@ class Runner:
                 timeout=10).stdout.strip())
         except Exception:
             pass
+        if dirty:
+            msg = ("PROVENANCE: the git tree is DIRTY - this run cannot be "
+                   "reproduced from any committed SHA.  Commit first (or "
+                   "accept a provenance.json with git_dirty=true).")
+            if os.environ.get("WTW_REQUIRE_CLEAN"):
+                raise RuntimeError(msg + "  (WTW_REQUIRE_CLEAN is set)")
+            print(f"\n{'!' * 72}\n{msg}\n{'!' * 72}\n",
+                  file=sys.stderr, flush=True)
+        # machine-load context: loadavg and concurrently running python
+        # processes at launch, so a halved cumulative env-steps/s (e.g.
+        # test-suite contention on the same box) is visible in the artifact
+        loadavg = None
+        try:
+            loadavg = list(os.getloadavg())
+        except OSError:
+            pass
+        other_procs = []
+        try:
+            out = subprocess.run(
+                ["ps", "-eo", "pid,pcpu,comm,args", "--no-headers"],
+                capture_output=True, text=True, timeout=10).stdout
+            me = os.getpid()
+            for line in out.splitlines():
+                parts = line.split(None, 3)
+                if len(parts) < 4 or int(parts[0]) == me:
+                    continue
+                if "python" in parts[2] or "pytest" in parts[2]:
+                    other_procs.append(
+                        {"pid": int(parts[0]), "pcpu": float(parts[1]),
+                         "cmd": parts[3][:160]})
+        except Exception:
+            pass
         cfg_json = json.dumps(dataclasses.asdict(self.env.cfg),
                               sort_keys=True, default=str)
         info = {
@@ -243,6 +290,9 @@ class Runner:
             "algo": self.algo,
             "num_envs": self.env.num_envs,
             "backend": jax.default_backend(),
+            "loadavg": loadavg,
+            "ncpu": os.cpu_count(),
+            "other_python_procs": other_procs,
             "config_hash": hashlib.sha256(
                 cfg_json.encode()).hexdigest()[:12],
             "sim_params": dataclasses.asdict(self.env.sim_params),
@@ -336,22 +386,51 @@ class Runner:
         print(f"saved video {path}", flush=True)
 
     # -- persistence ------------------------------------------------------
+    # Path convention: *.pkl = local single-host pickle (dependency-light
+    # default); anything else = a shared-storage DIRECTORY in the orbax
+    # format (utils/checkpoint.save_shared) — multi-host safe (each
+    # process writes/reads its own shards) and usable as a common resume
+    # point for a pod slice, the analog of the reference Runner's
+    # ml_logger server resume (ppo_cse/__init__.py:76-91).
     def save(self, path: str):
-        ckpt.save(path, {
+        tree = {
             "train_state": self.train_state,
             "env_state": self.env_state,
             "obs_dict": self.obs_dict,
-        })
+        }
+        if path.endswith(".pkl"):
+            ckpt.save(path, tree)
+        else:
+            ckpt.save_shared(path, tree)
 
     def load(self, path: str):
-        loaded = ckpt.load(path)
-        self.train_state = ckpt.restore_like(
-            self.train_state, loaded["train_state"])
         if self.env_state is None:
             self.env_state, self.obs_dict = self.env.reset(self._reset_key)
-        self.env_state = ckpt.restore_like(self.env_state, loaded["env_state"])
-        self.obs_dict = {
-            k: jnp.asarray(v) for k, v in loaded["obs_dict"].items()}
+            if self.mesh is not None:
+                from ..parallel import mesh as mesh_mod
+                self.env_state = mesh_mod.shard_env_state(
+                    self.env_state, self.mesh, self.env.num_envs)
+                self.obs_dict = mesh_mod.shard_env_state(
+                    self.obs_dict, self.mesh, self.env.num_envs)
+                self.train_state = mesh_mod.replicate(
+                    self.train_state, self.mesh)
+        if path.endswith(".pkl"):
+            loaded = ckpt.load(path)
+            self.train_state = ckpt.restore_like(
+                self.train_state, loaded["train_state"])
+            self.env_state = ckpt.restore_like(
+                self.env_state, loaded["env_state"])
+            self.obs_dict = {
+                k: jnp.asarray(v) for k, v in loaded["obs_dict"].items()}
+        else:
+            loaded = ckpt.load_shared(path, {
+                "train_state": self.train_state,
+                "env_state": self.env_state,
+                "obs_dict": self.obs_dict,
+            })
+            self.train_state = loaded["train_state"]
+            self.env_state = loaded["env_state"]
+            self.obs_dict = loaded["obs_dict"]
 
     def export_policy(self, dirpath: str):
         """Deployment artifact: flat npz of adaptation + actor weights

@@ -488,10 +488,13 @@ def control_step_pallas(em, rh_t, mu_t, e_t, g_t, n_t,
     if exact:
         # the exact-mode substep body holds the whole in-kernel cache
         # rebuild's temporaries on the scoped-vmem stack; the 16 MB
-        # default limit is far below the v5e's 128 MB VMEM — raise it
-        # (measured: ~107 MB at block=1024, ~53 MB at 512)
+        # default limit is far below the v5e's 128 MB VMEM — raise it.
+        # (An earlier rebuild chain peaked ~107 MB at block=1024; the
+        # current one compiles within this limit.  120 MB leaves the
+        # compiler headroom for future growth while staying under the
+        # 128 MB physical VMEM.)
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid=grid,

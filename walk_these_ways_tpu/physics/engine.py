@@ -896,6 +896,11 @@ def control_step_megakernel(
     N = state.base_pos.shape[0]
     block = EXACT_MEGASTEP_BLOCK if exact else MEGASTEP_BLOCK
     interpret = jax.default_backend() != "tpu"
+    # exact mode sublane-splits every batch input EXCEPT lam_in_t, and it
+    # always cold-starts contacts in-kernel; a combined call would hit an
+    # opaque shape error deep inside the Pallas kernel
+    assert lam_in_t is None or not exact, \
+        "cross-step warm start (lam_in_t) is incompatible with exact mode"
 
     if exact:
         # no host-side cache: the kernel rebuilds it per substep.  Flat

@@ -8,8 +8,16 @@ state (including curriculum weights, DR params, RNG keys) — resume is
 bit-exact.
 
 Format: a pickle of numpy-ified pytrees (portable, no framework lock-in).
-Orbax is available in the image and can be layered on for async multi-host
-checkpointing later; this module is the dependency-light core.
+
+For SHARED-storage / multi-host checkpointing (a pod slice resuming from a
+common directory — the analog of the reference Runner pulling weights and
+curriculum state from its ml_logger server, reference
+go1_gym_learn/ppo_cse/__init__.py:76-91), `save_shared`/`load_shared`
+layer orbax on the same trees: every process writes its own shards of
+cross-process global arrays (no allgather), restore reassembles them under
+the live sharding, and the pickle path stays the dependency-light core for
+single-host runs.  A directory path (no .pkl suffix) selects the orbax
+format in Runner.save/load, so `--resume <shared-dir>` works across hosts.
 """
 from __future__ import annotations
 
@@ -35,6 +43,39 @@ def save(path: str, tree) -> None:
 def load(path: str):
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def save_shared(path: str, tree) -> None:
+    """Checkpoint to a shared-storage DIRECTORY via orbax.
+
+    Works under jax.distributed: sharded global arrays are written
+    distributedly (each process persists its addressable shards; orbax
+    coordinates the commit), so no process ever needs the full array in
+    host memory.  `path` may be any fsspec-able location orbax supports
+    (shared filesystem here; gs:// etc. in a real pod deployment)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_shared(path: str, template):
+    """Restore a `save_shared` checkpoint into the template's structure.
+
+    The template's leaves supply shape/dtype/sharding: restoring under a
+    live mesh reassembles each process's shards of cross-process arrays.
+    Structure or shape drift fails loudly inside orbax (same contract as
+    restore_like)."""
+    import orbax.checkpoint as ocp
+
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(
+            tuple(x.shape), x.dtype, sharding=getattr(x, "sharding", None))
+        if hasattr(x, "shape") else x,
+        template)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), abstract)
 
 
 def _keyed_leaves(tree):
