@@ -29,12 +29,14 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main(num_envs: int = 4000, warmup: int = 3, iters: int = 20):
-    from walk_these_ways_tpu.go1_config import mob_train_cfg
+def main(num_envs: int = 4000, warmup: int = 3, iters: int = 20,
+         terrain: str = "flat"):
+    from walk_these_ways_tpu.go1_config import mob_train_cfg, rough_train_cfg
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.learn import ppo as ppo_mod
 
-    cfg = mob_train_cfg(num_envs=num_envs)
+    cfg_fn = rough_train_cfg if terrain == "rough" else mob_train_cfg
+    cfg = cfg_fn(num_envs=num_envs)
     env = LeggedRobotEnv(cfg)
     rng = jax.random.PRNGKey(0)
     ts = ppo_mod.init_train_state(rng, env)
@@ -58,8 +60,9 @@ def main(num_envs: int = 4000, warmup: int = 3, iters: int = 20):
 
     steps_per_s = iters * num_steps * num_envs / dt
     baseline = 60000.0
+    suffix = "" if terrain == "flat" else f"_{terrain}"
     print(json.dumps({
-        "metric": "train_env_steps_per_s_4000env",
+        "metric": f"train_env_steps_per_s_4000env{suffix}",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / baseline, 3),
@@ -67,13 +70,15 @@ def main(num_envs: int = 4000, warmup: int = 3, iters: int = 20):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 4000
+    terrain = "rough" if "--terrain=rough" in sys.argv else "flat"
     # one retry: the TPU tunnel occasionally drops a dispatch when another
     # process contended for the chip moments earlier; a failed attempt
     # poisons its buffers, a fresh attempt recovers
     try:
-        main(num_envs=n)
+        main(num_envs=n, terrain=terrain)
     except Exception as e:  # noqa: BLE001
         print(f"bench attempt 1 failed ({type(e).__name__}); retrying",
               file=sys.stderr, flush=True)
-        main(num_envs=n)
+        main(num_envs=n, terrain=terrain)

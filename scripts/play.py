@@ -41,7 +41,7 @@ def load_policy(path):
 
 
 def play_go1(policy_path: str, steps: int = 250, plot: bool = False,
-             plot_path: str = None):
+             plot_path: str = None, video_path: str = None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -78,7 +78,7 @@ def play_go1(policy_path: str, steps: int = 250, plot: bool = False,
     state, obs = env.reset(jax.random.PRNGKey(42))
     step = jax.jit(env.step)
     pol = jax.jit(policy)
-    xs, vxs, qs = [], [], []
+    xs, vxs, qs, phys_frames = [], [], [], []
     for i in range(steps):
         state = state._replace(
             commands=jnp.asarray(cmd)[None, :].repeat(1, 0))
@@ -90,12 +90,23 @@ def play_go1(policy_path: str, steps: int = 250, plot: bool = False,
         vxs.append(float(v_body[0, 0]))
         xs.append(float(state.phys.base_pos[0, 0]))
         qs.append(np.asarray(state.phys.q[0]))
+        if video_path:
+            phys_frames.append(jax.tree.map(
+                lambda x: np.asarray(x[0:1]), state.phys))
     import numpy as np
     vxs = np.array(vxs)
     qs = np.stack(qs)
     print(f"mean body-frame vx over rollout: {vxs.mean():.3f} m/s (target 1.5)")
     print(f"distance covered: {abs(xs[-1] - xs[0]):.2f} m along world-x "
           f"in {steps*env.dt:.1f} s (spawn yaw is randomized)")
+    if video_path:
+        # qualitative gait-inspection artifact (the reference ships a
+        # training video with its pretrained run, e.g.
+        # runs/.../videos/49750.mp4, captured via legged_robot.py:1592-1673)
+        from walk_these_ways_tpu.utils.render import render_trajectory
+        render_trajectory(env.model, phys_frames, video_path,
+                          fps=int(1 / env.dt), stride=2)
+        print(f"saved gait video to {video_path}")
     if plot:
         # measured-vs-desired velocity + joint positions figure
         # (reference play.py:140-157)
@@ -132,8 +143,13 @@ def main():
     p.add_argument("--plot", action="store_true",
                    help="save the reference play.py velocity/joint figure")
     p.add_argument("--plot-path", type=str, default=None)
+    p.add_argument("--video", type=str, default=None, metavar="PATH",
+                   help="render the rollout to a skeleton video "
+                        "(.mp4/.gif) — the offline replay-to-video analog "
+                        "of the reference's IsaacGym viewer/camera capture")
     a = p.parse_args()
-    play_go1(a.policy, a.steps, plot=a.plot, plot_path=a.plot_path)
+    play_go1(a.policy, a.steps, plot=a.plot, plot_path=a.plot_path,
+             video_path=a.video)
 
 
 if __name__ == "__main__":

@@ -62,5 +62,16 @@ def test_go1_standing_forces(out):
 def test_go1_closed_loop_replay(out):
     """2 s closed-loop PD dance: exact mode within mm/deg-scale of MuJoCo
     (measured: z_rmse 3.5 mm, tilt_max 4.8 deg, joint_rmse 0.033 rad);
-    matrix-reuse mode no worse than the same-control-rate exact run."""
+    matrix-reuse mode no worse than the same-control-rate exact run.
+    Also measures the intra-MuJoCo chaos floor (mj_selfdiv) the 50 Hz
+    numbers are read against (runs/mujoco_parity/SUMMARY.md)."""
     assert mp.run_go1_replay(out)
+
+
+@pytest.mark.heavy
+def test_go1_replay_through_actuator_net(out):
+    """2 s dance with torques from the converted actuator network + 6-step
+    lag buffer in BOTH engines (the shipping MoB torque path, reference
+    legged_robot.py:907-938): agreement matches PD exact mode (measured:
+    z_rmse 2.6 mm, tilt_max 8.5 deg, joint_rmse 0.038 rad)."""
+    assert mp.run_go1_replay_actuator(out)

@@ -372,8 +372,12 @@ class SimCfg:
     # substeps of one control step (speed knob; ~cm-scale geometric lag)
     reuse_matrices: bool = False
     # env-minor Pallas contact pipeline (ops/pallas_contact.py) — requires
-    # reuse_matrices and a flat-ground terrain (the MoB train config);
-    # heightfield configs fall back to the XLA solver automatically
+    # reuse_matrices.  Handles BOTH flat ground (the MoB train config's
+    # boxes tiles resolve to the flat fast path, which drops the normal
+    # rotation) and heightfield terrain (per-point surface normals n_t
+    # flow into the kernels).  Only EXACT mode (reuse_matrices=False) is
+    # flat-only in Pallas; exact heightfield runs the megakernel once per
+    # substep with a fresh cache.
     use_pallas_contact: bool = False
     # fold the whole control step (torque model + all decimation substeps +
     # integration) into one Pallas launch (ops/pallas_megastep.py); only

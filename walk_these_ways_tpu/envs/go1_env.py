@@ -227,9 +227,9 @@ class LeggedRobotEnv:
             origins = terrain_mod.grid_env_origins(self.num_envs)
         self.env_origins = jnp.asarray(origins)
 
-        # the Pallas contact pipeline is specialized to flat ground (the
-        # MoB train config resolves to the flat fast path); heightfield
-        # terrains use the XLA solver
+        # the Pallas contact pipeline serves flat ground (the MoB train
+        # config resolves to the flat fast path) AND heightfields (surface
+        # normals n_t flow into the kernels); only exact mode is flat-only
         self.sim_params = engine.SimParams(
             dt=cfg.sim.dt, num_contact_iters=cfg.sim.num_contact_iters,
             use_pallas_contact=cfg.sim.use_pallas_contact,
