@@ -121,6 +121,10 @@ class StepInfo(NamedTuple):
     eval_ep_count_done: jnp.ndarray      # ()
     eval_ep_len_done: jnp.ndarray        # ()
     torques: jnp.ndarray                 # (N, 12)
+    # envs terminated THIS step by the integrator-envelope crash guard
+    # (runs/seed2_blowup fix 3) — surfaced so "zero envelope exits over a
+    # run" is a checkable claim in metrics.jsonl, not an assertion
+    envelope_exits: jnp.ndarray          # ()
 
 
 class LeggedRobotEnv:
@@ -1074,7 +1078,8 @@ class LeggedRobotEnv:
             eval_ep_sums_done=eval_ep_sums_done,
             eval_ep_count_done=eval_ep_count_done,
             eval_ep_len_done=eval_ep_len_done,
-            torques=state.torques)
+            torques=state.torques,
+            envelope_exits=jnp.sum(env_exit.astype(jnp.float32)))
         return state, obs_dict, rew_total, reset, info
 
     def _measured_ground(self, state: EnvState) -> jnp.ndarray:

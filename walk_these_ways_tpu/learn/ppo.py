@@ -79,6 +79,9 @@ class IterMetrics(NamedTuple):
     eval_ep_count_done: jnp.ndarray
     eval_ep_len_done: jnp.ndarray
     curriculum_area: jnp.ndarray      # (C,) mean weight per gait category
+    # crash-guard terminations this iteration (runs/seed2_blowup fix 3);
+    # a healthy run logs 0 throughout
+    envelope_exits: jnp.ndarray
 
 
 def make_optimizers(args: PPO_Args):
@@ -163,7 +166,7 @@ def make_train_iteration(env, args: PPO_Args = PPO_Args(),
             log_probs=logp, mu=mu, sigma=sigma)
         log = (info.ep_sums_done, info.ep_count_done, info.ep_len_done,
                info.eval_ep_sums_done, info.eval_ep_count_done,
-               info.eval_ep_len_done)
+               info.eval_ep_len_done, info.envelope_exits)
         return (env_state, new_obs, params, rng), (t, log)
 
     def compute_gae(traj: Transition, last_values):
@@ -295,6 +298,7 @@ def make_train_iteration(env, args: PPO_Args = PPO_Args(),
         eval_ep_sums_done = jnp.sum(logs[3], axis=0)
         eval_ep_count_done = jnp.sum(logs[4])
         eval_ep_len_done = jnp.sum(logs[5])
+        envelope_exits = jnp.sum(logs[6])
 
         # -- GAE (ppo.py:93-95) -------------------------------------------
         last_values = ac.evaluate(ts.params,
@@ -341,6 +345,7 @@ def make_train_iteration(env, args: PPO_Args = PPO_Args(),
             eval_ep_count_done=eval_ep_count_done,
             eval_ep_len_done=eval_ep_len_done,
             curriculum_area=jnp.mean(env_state.curriculum.weights, axis=-1),
+            envelope_exits=envelope_exits,
         )
         ts = TrainState(params=params, opt_state=opt_state,
                         adapt_opt_state=adapt_opt_state, lr=lr, rng=rng,

@@ -137,7 +137,7 @@ def make_train_iteration(env, args: PPO_Args = PPO_Args(), num_steps: int = 24,
              done_tr, values, logp, mean, std)
         log = (info.ep_sums_done, info.ep_count_done, info.ep_len_done,
                info.eval_ep_sums_done, info.eval_ep_count_done,
-               info.eval_ep_len_done)
+               info.eval_ep_len_done, info.envelope_exits)
         return (env_state, new_obs, params, rng), (t, log)
 
     def train_iteration(env_state, obs_dict, ts: RMATrainState):
@@ -250,6 +250,7 @@ def make_train_iteration(env, args: PPO_Args = PPO_Args(), num_steps: int = 24,
             eval_ep_sums_done=jnp.sum(logs[3], axis=0),
             eval_ep_count_done=jnp.sum(logs[4]),
             eval_ep_len_done=jnp.sum(logs[5]),
+            envelope_exits=jnp.sum(logs[6]),
             curriculum_area=jnp.mean(env_state.curriculum.weights, axis=-1),
         )
         ts = RMATrainState(params=params, opt_state=opt_state,

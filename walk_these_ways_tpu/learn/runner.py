@@ -117,6 +117,7 @@ class Runner:
         ev_sums_acc = np.zeros(len(term_names))
         ev_count_acc = 0.0
         ev_len_acc = 0.0
+        env_exit_acc = 0.0       # cumulative crash-guard terminations
         t_start = time.time()
 
         start_iter = int(self.train_state.iteration)
@@ -139,6 +140,7 @@ class Runner:
                     ev_sums_acc += m.eval_ep_sums_done
                     ev_count_acc += float(m.eval_ep_count_done)
                     ev_len_acc += float(m.eval_ep_len_done)
+                    env_exit_acc += float(m.envelope_exits)
                     self.logger.store(
                         mean_value_loss=m.value_loss,
                         mean_surrogate_loss=m.surrogate_loss,
@@ -152,7 +154,11 @@ class Runner:
                         self.logger.store(**{f"command_area_{name}":
                                              float(m.curriculum_area[c])})
                 pending = []
-                extra = {"iterations": it + 1, "timesteps": self.tot_timesteps}
+                extra = {"iterations": it + 1, "timesteps": self.tot_timesteps,
+                         # cumulative count of integrator-envelope crash
+                         # terminations (healthy runs stay at 0; the r4
+                         # seed-2 signature would show here immediately)
+                         "train/episode/envelope_exits_total": env_exit_acc}
                 # command/action range diagnostics at the same sync point
                 # (reference legged_robot.py:203-227 logs min/max of each
                 # command channel and of the actions every episode-log)
