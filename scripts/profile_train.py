@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--rollout-only", action="store_true")
     ap.add_argument("--mode", default="reuse", choices=["reuse", "exact"])
+    ap.add_argument("--terrain", default="flat", choices=["flat", "rough"])
     ap.add_argument("--out", default="/tmp/jax_trace")
     a = ap.parse_args()
 
@@ -39,10 +40,11 @@ def main():
     import jax.numpy as jnp
 
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
-    from walk_these_ways_tpu.go1_config import mob_train_cfg
+    from walk_these_ways_tpu.go1_config import mob_train_cfg, rough_train_cfg
     from walk_these_ways_tpu.learn import ppo as ppo_mod
 
-    cfg = mob_train_cfg(num_envs=a.num_envs)
+    cfg_fn = rough_train_cfg if a.terrain == "rough" else mob_train_cfg
+    cfg = cfg_fn(num_envs=a.num_envs)
     if a.mode == "exact":
         cfg = dataclasses.replace(
             cfg, sim=dataclasses.replace(cfg.sim, reuse_matrices=False))

@@ -201,11 +201,9 @@ class LeggedRobotEnv:
             if np.abs(combined.height).max() == 0.0:
                 self.terrain = engine.flat_terrain()
             else:
-                self.terrain = engine.Terrain(
-                    height=jnp.asarray(combined.height),
-                    horizontal_scale=combined.horizontal_scale,
-                    origin_xy=combined.origin_xy,
-                )
+                self.terrain = engine.make_heightfield_terrain(
+                    combined.height, combined.horizontal_scale,
+                    combined.origin_xy)
             origins = np.concatenate([
                 terrain_mod.assign_env_origins(
                     cfg.terrain, combined, self.num_train_envs, np_rng),
@@ -219,11 +217,9 @@ class LeggedRobotEnv:
                 # gather-free flat-ground fast path
                 self.terrain = engine.flat_terrain()
             else:
-                self.terrain = engine.Terrain(
-                    height=jnp.asarray(arrays.height),
-                    horizontal_scale=arrays.horizontal_scale,
-                    origin_xy=arrays.origin_xy,
-                )
+                self.terrain = engine.make_heightfield_terrain(
+                    arrays.height, arrays.horizontal_scale,
+                    arrays.origin_xy)
             origins = terrain_mod.assign_env_origins(
                 cfg.terrain, arrays, self.num_envs, np_rng)
         else:

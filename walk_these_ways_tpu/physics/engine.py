@@ -410,11 +410,22 @@ def _mass_matrix_inverse(model: RobotModel, M: jnp.ndarray) -> jnp.ndarray:
 
 
 class Terrain(NamedTuple):
-    """Heightfield terrain. A zero field is flat ground at z=0."""
+    """Heightfield terrain. A zero field is flat ground at z=0.
+
+    `corners` is a precomputed corner-packed copy of the field:
+    corners[i, j] = (h[i,j], h[i+1,j], h[i,j+1], h[i+1,j+1]).  Bilinear
+    lookup then needs ONE gather of a contiguous 4-float slice per query
+    point instead of four separate scalar gathers — TPU gathers are
+    index-bound, so this is ~4x cheaper, and the round-5 rough-terrain
+    profile showed the four corner gathers were 44% of the whole train
+    iteration (scripts/profile_train.py --terrain rough).  Build with
+    `make_heightfield_terrain` to get it for free; a None falls back to
+    the four-gather path (old pickled states restore fine)."""
 
     height: jnp.ndarray        # (rows, cols) float32 heights [m]
     horizontal_scale: float    # grid pitch [m] (static)
     origin_xy: tuple           # (x0, y0) of grid index (0, 0)  (static)
+    corners: jnp.ndarray = None  # (rows-1, cols-1, 4) packed corner heights
 
     def lookup(self, x, y):
         """Bilinear height + surface normal at world (x, y). Shapes preserved."""
@@ -432,10 +443,16 @@ class Terrain(NamedTuple):
         j0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, W - 2)
         fx = jnp.clip(gx - i0, 0.0, 1.0)
         fy = jnp.clip(gy - j0, 0.0, 1.0)
-        h00 = self.height[i0, j0]
-        h10 = self.height[i0 + 1, j0]
-        h01 = self.height[i0, j0 + 1]
-        h11 = self.height[i0 + 1, j0 + 1]
+        if self.corners is not None:
+            # one gather of contiguous 4-vectors on the flattened grid
+            c = jnp.take(self.corners.reshape(-1, 4),
+                         i0 * (W - 1) + j0, axis=0)
+            h00, h10, h01, h11 = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+        else:
+            h00 = self.height[i0, j0]
+            h10 = self.height[i0 + 1, j0]
+            h01 = self.height[i0, j0 + 1]
+            h11 = self.height[i0 + 1, j0 + 1]
         h = (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
              + h01 * (1 - fx) * fy + h11 * fx * fy)
         dhdx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) / hs
@@ -448,6 +465,16 @@ class Terrain(NamedTuple):
 def flat_terrain() -> Terrain:
     return Terrain(height=jnp.zeros((2, 2), jnp.float32),
                    horizontal_scale=1.0, origin_xy=(-1e4, -1e4))
+
+
+def make_heightfield_terrain(height, horizontal_scale, origin_xy) -> Terrain:
+    """Heightfield Terrain with the corner-packed lookup table prebuilt."""
+    height = jnp.asarray(height, dtype=jnp.float32)
+    corners = jnp.stack(
+        [height[:-1, :-1], height[1:, :-1], height[:-1, 1:], height[1:, 1:]],
+        axis=-1)
+    return Terrain(height=height, horizontal_scale=horizontal_scale,
+                   origin_xy=origin_xy, corners=corners)
 
 
 def _contact_solve(model: RobotModel, params: SimParams, Minv, Sw, Sv, frames,
