@@ -50,6 +50,37 @@ def test_save_shared_overwrites(tmp_path):
                           np.asarray(tree2["params"]["w"]))
 
 
+def test_runner_shared_dir_save_resume_bit_exact(tmp_path):
+    """Runner.save/load dispatch on a DIRECTORY path (orbax shared
+    format): a fresh Runner resumed from the shared dir carries the
+    exact same params/env state as the saver (the single-process leg of
+    the --shared-ckpt / --resume <dir> flow; the cross-process leg is
+    tests/test_multihost.py::test_shared_storage_checkpoint_resume_bit_exact)."""
+    from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
+    from walk_these_ways_tpu.go1_config import mob_train_cfg
+    from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
+
+    cfg = mob_train_cfg(num_envs=8)
+    env = LeggedRobotEnv(cfg)
+    shared = str(tmp_path / "shared_ckpt")
+    r1 = Runner(env, log_dir=str(tmp_path / "runA"), seed=3,
+                args=RunnerArgs(max_iterations=1, log_freq=1,
+                                save_interval=1000))
+    r1.learn(num_learning_iterations=1)
+    r1.save(shared)
+
+    r2 = Runner(env, log_dir=str(tmp_path / "runB"), seed=99,
+                args=RunnerArgs(max_iterations=1, log_freq=1,
+                                save_interval=1000, resume=True,
+                                resume_path=shared))
+    for a, b in zip(jax.tree.leaves(r1.train_state),
+                    jax.tree.leaves(r2.train_state)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(r1.env_state),
+                    jax.tree.leaves(r2.env_state)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_load_shared_shape_drift_fails(tmp_path):
     path = str(tmp_path / "ckpt")
     ckpt.save_shared(path, _tree())
