@@ -70,15 +70,17 @@ def main(num_envs: int = 4000, warmup: int = 3, iters: int = 20,
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = int(args[0]) if args else 4000
-    terrain = "rough" if "--terrain=rough" in sys.argv else "flat"
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("num_envs", type=int, nargs="?", default=4000)
+    ap.add_argument("--terrain", choices=["flat", "rough"], default="flat")
+    a = ap.parse_args()
     # one retry: the TPU tunnel occasionally drops a dispatch when another
     # process contended for the chip moments earlier; a failed attempt
     # poisons its buffers, a fresh attempt recovers
     try:
-        main(num_envs=n, terrain=terrain)
+        main(num_envs=a.num_envs, terrain=a.terrain)
     except Exception as e:  # noqa: BLE001
         print(f"bench attempt 1 failed ({type(e).__name__}); retrying",
               file=sys.stderr, flush=True)
-        main(num_envs=n, terrain=terrain)
+        main(num_envs=a.num_envs, terrain=a.terrain)

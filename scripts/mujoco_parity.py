@@ -27,7 +27,15 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+# CPU pin must go through jax.config, NOT the env var: the container
+# sitecustomize imports jax first and force-sets the platform list, so the
+# env-var route silently leaves the TPU backend active (observed round 5:
+# the suite was contending with a concurrent training run, and crashed
+# outright when the TPU tunnel was down)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -415,6 +423,15 @@ def run_go1_replay(out):
             return cache["tau"]
         return wrapped
 
+    mj_by_rate = {}   # the MuJoCo side depends only on the hold rate —
+    # reuse one rollout per rate across modes and the chaos floor below
+
+    def mj_at(rate):
+        if rate not in mj_by_rate:
+            mj_by_rate[rate] = _mj_sim(xml, st0, tau_mj, STEPS, DT,
+                                       hold=rate)
+        return mj_by_rate[rate]
+
     for mode, reuse, rate in (("exact", False, 1), ("exact50", False, 4),
                               ("reuse", True, 4)):
         params = E.SimParams(dt=DT, use_pallas_contact=False)
@@ -422,7 +439,7 @@ def run_go1_replay(out):
         _, ours = _engine_sim(model, params, state, fn, dyn, STEPS,
                               DT, reuse=reuse)
         stride = 4 if reuse else 1
-        mj = _mj_sim(xml, st0, tau_mj, STEPS, DT, hold=rate)
+        mj = mj_at(rate)
         pos_mj = np.array([r[0] for r in mj])
         quat_mj = np.array([r[1] for r in mj])
         q_mj = np.array([r[4] for r in mj])
@@ -466,7 +483,7 @@ def run_go1_replay(out):
             joint_rmse=float(np.sqrt(((q_a[:n] - q_b[:n]) ** 2).mean())),
             joint_max=float(np.abs(q_a[:n] - q_b[:n]).max()))
 
-    mj_ref = _mj_sim(xml, st0, tau_mj, STEPS, DT, hold=4)
+    mj_ref = mj_at(4)
     st0_pert = (st0[0], st0[1], st0[2], st0[3], st0[4],
                 st0[5] + 1e-6 * np.arange(1, 13))
     mj_pert = _mj_sim(xml, st0_pert, tau_mj, STEPS, DT, hold=4)

@@ -79,9 +79,16 @@ def worker(a) -> None:
     train_iter = jax.jit(ppo_mod.make_train_iteration(env, num_steps=4))
 
     def checksum_of(params):
-        # replicated outputs are process-local addressable; checksum them
-        leaves = jax.tree.leaves(params)
-        return float(sum(jnp.sum(jnp.abs(x)).item() for x in leaves))
+        # replicated outputs are process-local addressable; digest the RAW
+        # BYTES of every leaf (md5) so "checksums match" really means
+        # bit-exact — a float sum-of-abs could mask sub-epsilon drift or
+        # sign flips
+        import hashlib
+        import numpy as _np
+        d = hashlib.md5()
+        for x in jax.tree.leaves(params):
+            d.update(_np.ascontiguousarray(_np.asarray(x)).tobytes())
+        return d.hexdigest()
 
     from walk_these_ways_tpu.utils import checkpoint as ckpt
 
@@ -99,7 +106,7 @@ def worker(a) -> None:
             jax.block_until_ready(ts.params)
         print(f"MULTIHOST proc={a.process_id}/{a.num_processes} "
               f"devices={n_dev} value_loss={float(metrics.value_loss):.6f} "
-              f"checksum={checksum_of(ts.params):.6f}", flush=True)
+              f"checksum={checksum_of(ts.params)}", flush=True)
         return
 
     with mesh:
@@ -124,7 +131,7 @@ def worker(a) -> None:
     assert v == v, "value_loss is NaN"
     print(f"MULTIHOST proc={a.process_id}/{a.num_processes} "
           f"devices={n_dev} value_loss={v:.6f} "
-          f"checksum={checksum_of(ts.params):.6f}", flush=True)
+          f"checksum={checksum_of(ts.params)}", flush=True)
 
 
 def _run_cluster(a, phase, port, ckpt_dir):
@@ -179,10 +186,10 @@ def main() -> int:
     if a.shared_resume:
         ckpt_dir = tempfile.mkdtemp(prefix="wtw_shared_ckpt_")
         print(f"shared checkpoint dir: {ckpt_dir}")
-        cs_a = _run_cluster(a, "save", PORT, ckpt_dir)
+        cs_a = _run_cluster(a, "save", a.port, ckpt_dir)
         if cs_a is None:
             return 1
-        cs_b = _run_cluster(a, "resume", PORT + 1, ckpt_dir)
+        cs_b = _run_cluster(a, "resume", a.port + 1, ckpt_dir)
         if cs_b is None:
             return 1
         if cs_a[0] != cs_b[0]:
@@ -194,7 +201,7 @@ def main() -> int:
               f"(checksum {cs_b[0]})")
         return 0
 
-    checksums = _run_cluster(a, "train", PORT, None)
+    checksums = _run_cluster(a, "train", a.port, None)
     if checksums is None:
         return 1
     print(f"multihost_smoke: OK — {a.num_processes} processes agree "

@@ -56,11 +56,13 @@ def test_runner_shared_dir_save_resume_bit_exact(tmp_path):
     exact same params/env state as the saver (the single-process leg of
     the --shared-ckpt / --resume <dir> flow; the cross-process leg is
     tests/test_multihost.py::test_shared_storage_checkpoint_resume_bit_exact)."""
+    from conftest import xla_physics
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.go1_config import mob_train_cfg
     from walk_these_ways_tpu.learn.runner import Runner, RunnerArgs
 
-    cfg = mob_train_cfg(num_envs=8)
+    # xla_physics: keep interpret-mode Pallas compiles out of the fast tier
+    cfg = xla_physics(mob_train_cfg(num_envs=8))
     env = LeggedRobotEnv(cfg)
     shared = str(tmp_path / "shared_ckpt")
     r1 = Runner(env, log_dir=str(tmp_path / "runA"), seed=3,

@@ -253,10 +253,17 @@ class Runner:
                 timeout=10).stdout.strip())
         except Exception:
             pass
-        if dirty:
+        if dirty or (dirty is None and os.environ.get("WTW_REQUIRE_CLEAN")):
+            # dirty is None when git itself failed (no binary / not a repo /
+            # timeout) — under WTW_REQUIRE_CLEAN that must ALSO refuse, or
+            # the gate would be silently bypassed exactly when provenance
+            # is unknowable
             msg = ("PROVENANCE: the git tree is DIRTY - this run cannot be "
                    "reproduced from any committed SHA.  Commit first (or "
-                   "accept a provenance.json with git_dirty=true).")
+                   "accept a provenance.json with git_dirty=true)."
+                   if dirty else
+                   "PROVENANCE: git state could not be determined (no git "
+                   "binary / not a repository?) - provenance is unknowable.")
             if os.environ.get("WTW_REQUIRE_CLEAN"):
                 raise RuntimeError(msg + "  (WTW_REQUIRE_CLEAN is set)")
             print(f"\n{'!' * 72}\n{msg}\n{'!' * 72}\n",
@@ -412,7 +419,11 @@ class Runner:
     def load(self, path: str):
         if self.env_state is None:
             self.env_state, self.obs_dict = self.env.reset(self._reset_key)
-            if self.mesh is not None:
+            if self.mesh is not None and not path.endswith(".pkl"):
+                # orbax restores UNDER the template shardings, so build
+                # sharded templates first; the pickle branch rebuilds
+                # leaves with plain jnp.asarray (GSPMD re-shards lazily
+                # on first use), so sharding templates would be dead work
                 from ..parallel import mesh as mesh_mod
                 self.env_state = mesh_mod.shard_env_state(
                     self.env_state, self.mesh, self.env.num_envs)
