@@ -122,6 +122,30 @@ def _mj_sim(xml, state0_np, torques_fn, steps, dt, hold=1):
     return traj
 
 
+
+def _tilt_deg(quat):
+    """Angle between body z and world z from xyzw quaternions (deg)."""
+    x, y, z, w = quat.T
+    cz = 1.0 - 2.0 * (x * x + y * y)
+    return np.rad2deg(np.arccos(np.clip(cz, -1.0, 1.0)))
+
+
+def _traj_metrics(pos_a, qu_a, q_a, pos_b, qu_b, q_b):
+    """Shared divergence metrics between two base/joint trajectories."""
+    n = min(len(pos_a), len(pos_b))
+    pos_a, qu_a, q_a = pos_a[:n], qu_a[:n], q_a[:n]
+    pos_b, qu_b, q_b = pos_b[:n], qu_b[:n], q_b[:n]
+    return dict(
+        base_pos_rmse=float(np.sqrt(((pos_a - pos_b) ** 2).mean())),
+        base_pos_max=float(np.abs(pos_a - pos_b).max()),
+        base_z_rmse=float(np.sqrt(((pos_a[:, 2] - pos_b[:, 2]) ** 2).mean())),
+        base_z_max=float(np.abs(pos_a[:, 2] - pos_b[:, 2]).max()),
+        tilt_diff_max_deg=float(
+            np.abs(_tilt_deg(qu_a) - _tilt_deg(qu_b)).max()),
+        joint_rmse=float(np.sqrt(((q_a - q_b) ** 2).mean())),
+        joint_max=float(np.abs(q_a - q_b).max()))
+
+
 # ---------------------------------------------------------------------------
 # box experiments
 # ---------------------------------------------------------------------------
@@ -399,12 +423,6 @@ def run_go1_replay(out):
     st0 = (np.array([0.0, 0.0, 0.32]), np.array([0.0, 0.0, 0.0, 1.0]),
            np.zeros(3), np.zeros(3), ddp.copy(), np.zeros(12))
 
-    def tilt_deg(quat):
-        # angle between body z and world z from xyzw quaternion
-        x, y, z, w = quat.T
-        cz = 1.0 - 2.0 * (x * x + y * y)
-        return np.rad2deg(np.arccos(np.clip(cz, -1.0, 1.0)))
-
     res = dict(experiment="go1-replay", horizon_s=STEPS * DT, modes={})
     # exact mode runs PD at 200 Hz (every substep); reuse mode applies one
     # torque per 4-substep control step, so its MuJoCo counterpart holds
@@ -449,17 +467,8 @@ def run_go1_replay(out):
         p_m = pos_mj[stride - 1::stride][:len(pos_o)]
         qu_m = quat_mj[stride - 1::stride][:len(pos_o)]
         q_m = q_mj[stride - 1::stride][:len(q_o)]
-        m = dict(
-            base_pos_rmse=float(np.sqrt(((pos_o - p_m) ** 2).mean())),
-            base_pos_max=float(np.abs(pos_o - p_m).max()),
-            base_z_rmse=float(np.sqrt(((pos_o[:, 2] - p_m[:, 2]) ** 2)
-                                      .mean())),
-            base_z_max=float(np.abs(pos_o[:, 2] - p_m[:, 2]).max()),
-            tilt_diff_max_deg=float(
-                np.abs(tilt_deg(quat_o) - tilt_deg(qu_m)).max()),
-            joint_rmse=float(np.sqrt(((q_o - q_m) ** 2).mean())),
-            joint_max=float(np.abs(q_o - q_m).max()))
-        res["modes"][mode] = m
+        res["modes"][mode] = _traj_metrics(pos_o, quat_o, q_o,
+                                           p_m, qu_m, q_m)
     # -- chaos floor (round-4 verdict item 3a): how far does MuJoCo
     # diverge from ITSELF over this horizon under the same 50 Hz hold,
     # when (a) the initial joint velocities are perturbed by 1e-6, and
@@ -469,19 +478,11 @@ def run_go1_replay(out):
     # numerical noise — the exact50/reuse numbers above must be read
     # against it, not against zero.
     def _mj_pair_metrics(a, b):
-        pos_a = np.array([r[0] for r in a]); pos_b = np.array([r[0] for r in b])
-        qu_a = np.array([r[1] for r in a]); qu_b = np.array([r[1] for r in b])
-        q_a = np.array([r[4] for r in a]); q_b = np.array([r[4] for r in b])
-        n = min(len(a), len(b))
-        return dict(
-            base_pos_rmse=float(np.sqrt(((pos_a[:n] - pos_b[:n]) ** 2).mean())),
-            base_z_rmse=float(np.sqrt(
-                ((pos_a[:n, 2] - pos_b[:n, 2]) ** 2).mean())),
-            base_z_max=float(np.abs(pos_a[:n, 2] - pos_b[:n, 2]).max()),
-            tilt_diff_max_deg=float(
-                np.abs(tilt_deg(qu_a[:n]) - tilt_deg(qu_b[:n])).max()),
-            joint_rmse=float(np.sqrt(((q_a[:n] - q_b[:n]) ** 2).mean())),
-            joint_max=float(np.abs(q_a[:n] - q_b[:n]).max()))
+        return _traj_metrics(
+            np.array([r[0] for r in a]), np.array([r[1] for r in a]),
+            np.array([r[4] for r in a]),
+            np.array([r[0] for r in b]), np.array([r[1] for r in b]),
+            np.array([r[4] for r in b]))
 
     mj_ref = mj_at(4)
     st0_pert = (st0[0], st0[1], st0[2], st0[3], st0[4],
@@ -549,17 +550,30 @@ def run_go1_replay_actuator(out):
         h = s(h @ w1.T + b1)
         return (h @ w2.T + b2)[:, 0]
 
+    # pin the host-side forward to the shipping jax implementation so the
+    # two cannot drift (models/actuator_net.apply is the training path)
+    from walk_these_ways_tpu.models import actuator_net as anet
+    _probe = np.random.RandomState(0).uniform(-1, 1, (12, 6)).astype(
+        np.float32)
+    assert np.allclose(net(_probe),
+                       np.asarray(anet.apply(anet.load(), _probe)),
+                       atol=1e-5), "host-side actuator net drifted"
+
     def make_law(get_qqd):
-        """Stateful torque law: 50 Hz target through a LAG-deep buffer,
-        per-substep net eval with 2-deep error/velocity histories."""
+        """Stateful torque law mirroring the shipping substep pipeline
+        (go1_env._compute_torques / reference legged_robot.py:907-918):
+        the lag buffer shifts EVERY 5 ms substep and is fed the CURRENT
+        control step's target (held constant across its 4 substeps, like
+        the action is), so lag_timesteps=6 means a 6-substep (30 ms)
+        delay; the net's error/velocity histories are 2-deep and also
+        advance per substep."""
         st = dict(lag=[ddp.copy()] * (LAG + 1),
                   el=np.zeros(12), ell=np.zeros(12),
                   vl=np.zeros(12), vll=np.zeros(12))
 
         def law(t, engine_state):
             q, qd = get_qqd(engine_state)
-            if t % 4 == 0:
-                st["lag"] = st["lag"][1:] + [target(t)]
+            st["lag"] = st["lag"][1:] + [target(t - (t % 4))]
             err = q - st["lag"][0]
             x = np.stack([err, st["el"], st["ell"],
                           qd, st["vl"], st["vll"]], axis=-1)
@@ -579,25 +593,14 @@ def run_go1_replay_actuator(out):
     law_mj = make_law(lambda s: (s[4], s[5]))
     mj = _mj_sim(xml, st0, law_mj, STEPS, DT, hold=1)
 
-    def tilt_deg(quat):
-        x, y, zc, w = quat.T
-        cz = 1.0 - 2.0 * (x * x + y * y)
-        return np.rad2deg(np.arccos(np.clip(cz, -1.0, 1.0)))
-
     pos_o = np.array([r[0] for r in ours]); pos_m = np.array([r[0] for r in mj])
     qu_o = np.array([r[1] for r in ours]); qu_m = np.array([r[1] for r in mj])
     q_o = np.array([r[4] for r in ours]); q_m = np.array([r[4] for r in mj])
-    res = dict(
-        experiment="go1-replay-actuator", horizon_s=STEPS * DT,
-        lag_control_steps=LAG,
-        base_pos_rmse=float(np.sqrt(((pos_o - pos_m) ** 2).mean())),
-        base_z_rmse=float(np.sqrt(((pos_o[:, 2] - pos_m[:, 2]) ** 2).mean())),
-        base_z_max=float(np.abs(pos_o[:, 2] - pos_m[:, 2]).max()),
-        tilt_diff_max_deg=float(
-            np.abs(tilt_deg(qu_o) - tilt_deg(qu_m)).max()),
-        joint_rmse=float(np.sqrt(((q_o - q_m) ** 2).mean())),
-        joint_max=float(np.abs(q_o - q_m).max()),
-        final_z_ours=float(pos_o[-1, 2]), final_z_mj=float(pos_m[-1, 2]))
+    res = dict(experiment="go1-replay-actuator", horizon_s=STEPS * DT,
+               lag_substeps=LAG,
+               **_traj_metrics(pos_o, qu_o, q_o, pos_m, qu_m, q_m),
+               final_z_ours=float(pos_o[-1, 2]),
+               final_z_mj=float(pos_m[-1, 2]))
     # gates mirror the exact-mode PD replay's (measured values + ~2x)
     ok = (res["base_z_rmse"] < 0.03 and res["base_z_max"] < 0.10
           and res["tilt_diff_max_deg"] < 12.0 and res["joint_rmse"] < 0.20)

@@ -53,7 +53,6 @@ def worker(a) -> None:
     # pin back to CPU after the cluster handshake
     jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
     from walk_these_ways_tpu.envs.go1_env import LeggedRobotEnv
     from walk_these_ways_tpu.go1_config import mob_train_cfg
     from walk_these_ways_tpu.learn import ppo as ppo_mod
@@ -154,8 +153,10 @@ def _run_cluster(a, phase, port, ckpt_dir):
         line = next((ln for ln in out.splitlines()
                      if ln.startswith("MULTIHOST")), "")
         print(line or f"proc {i}: NO OUTPUT (rc={rc})")
-        if rc != 0:
-            print(f"--- proc {i} failed (rc={rc}); tail ---")
+        if rc != 0 or not line:
+            # a worker that produced no MULTIHOST line must FAIL the run:
+            # empty-string "checksums" would compare equal and fake a pass
+            print(f"--- proc {i} failed (rc={rc}, line={bool(line)}); tail ---")
             print("\n".join(out.splitlines()[-15:]))
             return None
         checksums.append(line.rsplit("checksum=", 1)[-1])

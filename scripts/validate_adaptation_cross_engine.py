@@ -181,5 +181,13 @@ if __name__ == "__main__":
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--save-data", default=None)
     a = ap.parse_args()
+    if not os.path.exists(a.policy):
+        # run-dir checkpoints are no longer committed to git (binary
+        # artifacts); on a fresh clone you must train/export one first
+        ap.error(
+            f"policy artifact not found: {a.policy}\n"
+            "Exported policies live in <run_dir>/checkpoints/"
+            "policy_latest.npz and are not committed to git — train one "
+            "(scripts/train.py) or pass --policy to an existing export.")
     main(a.policy, a.reference, a.num_envs, a.warmup_steps, a.collect_steps,
          a.out, cpu=a.cpu, save_data=a.save_data)

@@ -70,8 +70,9 @@ def test_go1_closed_loop_replay(out):
 
 @pytest.mark.heavy
 def test_go1_replay_through_actuator_net(out):
-    """2 s dance with torques from the converted actuator network + 6-step
-    lag buffer in BOTH engines (the shipping MoB torque path, reference
-    legged_robot.py:907-938): agreement matches PD exact mode (measured:
-    z_rmse 2.6 mm, tilt_max 8.5 deg, joint_rmse 0.038 rad)."""
+    """2 s dance with torques from the converted actuator network + the
+    per-substep 6-deep lag buffer in BOTH engines (the shipping MoB
+    torque path, reference legged_robot.py:907-938): agreement matches
+    PD exact mode (measured: z_rmse 2.7 mm, tilt_max 8.4 deg,
+    joint_rmse 0.038 rad)."""
     assert mp.run_go1_replay_actuator(out)

@@ -59,3 +59,7 @@ def test_corner_packed_lookup_jits_and_grads_flow():
     x = jnp.asarray([0.05, 0.15], jnp.float32)
     y = jnp.asarray([-1.95, -1.85], jnp.float32)
     assert bool(jnp.isfinite(f(x, y)))
+    g = jax.grad(f)(x, y)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # the field is non-constant here, so d(sum h)/dx must be nonzero
+    assert bool(jnp.any(g != 0.0))

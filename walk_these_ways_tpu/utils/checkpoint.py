@@ -45,6 +45,13 @@ def load(path: str):
         return pickle.load(f)
 
 
+def _shared_path(path: str) -> str:
+    # absolutize LOCAL paths only — a scheme'd URL (gs://, s3://) must
+    # pass through untouched or abspath would mangle it into a bogus
+    # local directory
+    return path if "://" in path else os.path.abspath(path)
+
+
 def save_shared(path: str, tree) -> None:
     """Checkpoint to a shared-storage DIRECTORY via orbax.
 
@@ -52,12 +59,34 @@ def save_shared(path: str, tree) -> None:
     distributedly (each process persists its addressable shards; orbax
     coordinates the commit), so no process ever needs the full array in
     host memory.  `path` may be any fsspec-able location orbax supports
-    (shared filesystem here; gs:// etc. in a real pod deployment)."""
+    (shared filesystem here; gs:// etc. in a real pod deployment).
+
+    Overwrite is crash-safe on local/shared filesystems: the new
+    checkpoint is fully written NEXT TO the old one and swapped in by
+    rename, so a preemption mid-save can never destroy the previous
+    resume point (orbax's own force=True deletes the old dir before the
+    new one is committed)."""
     import orbax.checkpoint as ocp
 
+    path = _shared_path(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), tree, force=True)
+    if "://" in path or not os.path.exists(path):
+        ckptr.save(path, tree, force=True)
+        ckptr.wait_until_finished()
+        return
+    import shutil
+    new = path + ".new"
+    old = path + ".old"
+    shutil.rmtree(new, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    ckptr.save(new, tree, force=True)
     ckptr.wait_until_finished()
+    # only process 0 performs the swap (the others' saves have already
+    # been committed into `new` by the collective save above)
+    if jax.process_index() == 0:
+        os.rename(path, old)
+        os.rename(new, path)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def load_shared(path: str, template):
@@ -75,7 +104,7 @@ def load_shared(path: str, template):
         if hasattr(x, "shape") else x,
         template)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), abstract)
+    return ckptr.restore(_shared_path(path), abstract)
 
 
 def _keyed_leaves(tree):
