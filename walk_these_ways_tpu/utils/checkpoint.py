@@ -87,6 +87,11 @@ def save_shared(path: str, tree) -> None:
         os.rename(path, old)
         os.rename(new, path)
         shutil.rmtree(old, ignore_errors=True)
+    if jax.process_count() > 1:
+        # don't let other processes observe the pre-swap directory state
+        # (e.g. an immediate resume) before process 0's rename lands
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("wtw_shared_ckpt_swap")
 
 
 def load_shared(path: str, template):
